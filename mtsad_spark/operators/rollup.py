@@ -1,0 +1,138 @@
+"""Tiered continuous aggregates (SURVEY.md A3; north_star rollup path).
+
+Design for exactness AND scale:
+
+* Each tier's state is the ALGEBRAIC PARTIAL ``(cnt, s1=Σx, s2=Σx², vmin, vmax)``.
+  For the tokenized table the measure (``n_tok``) is an integer, so s1/s2 are
+  summed in LONG arithmetic — exact and order-independent, hence bitwise
+  identical at local[8] vs local[32] (or 1000 executors). The float
+  ``mean``/``std`` are derived from the exact integers by ONE deterministic
+  expression in :func:`finalize`.
+* Higher tiers (1h, 1d) are re-aggregations of the 1m partials
+  (:func:`reaggregate`) — the classic partial/final split, so a 100 TB scan
+  happens once and each coarser tier touches only rollup-sized data.
+* Skew: Spark's HashAggregate already does map-side partial aggregation for
+  these algebraic functions, which defuses hot-key skew for ``groupBy`` — a
+  hot ``source`` is pre-combined per task before the shuffle, so the shuffle
+  carries at most (tasks × distinct buckets) rows per key. Explicit salting is
+  therefore reserved for the ``applyInPandas`` scoring path
+  (operators/scoring.py) where no partial aggregation exists.
+
+Reference parity: mean/std replicate numpy population semantics (ddof=0,
+/root/reference/prediction/lstm_model.py:129-140 ``ndarray.std()``); min/max/
+count/sum are the north_star continuous-aggregate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tier name -> (date_trunc unit, seconds)
+TIERS: dict[str, tuple[str, int]] = {
+    "1m": ("minute", 60),
+    "1h": ("hour", 3600),
+    "1d": ("day", 86400),
+}
+TIER_ORDER = ["1m", "1h", "1d"]
+
+PARTIAL_COLS = ["cnt", "s1", "s2", "vmin", "vmax"]
+
+
+def bucket_expr(ts_col: str, tier: str) -> F.Column:
+    unit, _ = TIERS[tier]
+    return F.date_trunc(unit, F.col(ts_col))
+
+
+def rollup_partials(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    tier: str = "1m",
+    exact_int: bool = True,
+) -> DataFrame:
+    """Base-tier partial states per (keys..., bucket_ts).
+
+    ``exact_int=True`` sums the measure as LONG (exact, order-independent —
+    the determinism guarantee). Use ``False`` for genuinely double-valued
+    measures (float sums are then order-dependent in the last ulp; callers
+    that need cross-run stability should round at the edge).
+    """
+    v = F.col(val_col).cast("long") if exact_int else F.col(val_col).cast("double")
+    return df.groupBy(
+        *keys, bucket_expr(ts_col, tier).alias("bucket_ts")
+    ).agg(
+        F.count(val_col).alias("cnt"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+
+
+def reaggregate(partials: DataFrame, keys: list[str], tier: str) -> DataFrame:
+    """Compose a coarser tier from a finer tier's partials (partial merge).
+
+    Exact when s1/s2 are LONG: addition is associative, so the merge tree
+    shape (shuffle arrival order, parallelism level) cannot change the result.
+    """
+    return partials.groupBy(
+        *keys, bucket_expr("bucket_ts", tier).alias("bucket_ts")
+    ).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
+def finalize(partials: DataFrame, keys: list[str], tier: str) -> DataFrame:
+    """Derive the user-facing rollup point from exact partials.
+
+    std is POPULATION std (ddof=0) via sqrt(E[x²] − E[x]²) on exact integer
+    sums — deterministic because every operand is exact and the expression is
+    evaluated once per output row. Matches numpy ``ndarray.std()`` semantics
+    (reference prediction/lstm_model.py:129-140) up to the formula's own
+    float evaluation, which the pandas oracle replicates identically.
+    """
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    return partials.select(
+        *keys,
+        F.lit(tier).alias("tier"),
+        F.col("bucket_ts"),
+        F.col("cnt"),
+        F.col("s1").alias("sum_v"),
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+        F.col("vmin"),
+        F.col("vmax"),
+    )
+
+
+def rollup_tiers(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    tiers: list[str] | None = None,
+    exact_int: bool = True,
+) -> tuple[dict[str, DataFrame], dict[str, DataFrame]]:
+    """All retention tiers in one cascade: scan once, re-aggregate partials.
+
+    Returns ``(finalized, partials)`` dicts keyed by tier name. The caller
+    (plans/pipeline.py) persists the 1m partials between tiers so 1h/1d are
+    rollup-sized re-aggregations, not re-scans.
+    """
+    tiers = tiers or TIER_ORDER
+    partials: dict[str, DataFrame] = {}
+    finalized: dict[str, DataFrame] = {}
+    base = tiers[0]
+    partials[base] = rollup_partials(df, ts_col, val_col, keys, base, exact_int)
+    for prev, cur in zip(tiers, tiers[1:]):
+        partials[cur] = reaggregate(partials[prev], keys, cur)
+    for t in tiers:
+        finalized[t] = finalize(partials[t], keys, t)
+    return finalized, partials

@@ -1,0 +1,289 @@
+"""Anomaly scoring path (SURVEY.md W9/W10, A6, A8; north_star scoring).
+
+Replaces the reference's per-row Keras loop with two closed-form residual
+scorers, each in two physical forms:
+
+1. ``sliding_zscore`` — JVM window-frame form (rolling mean/std over
+   ``rowsBetween(-(w-1), 0)``); whole-stage-codegen'd, no Python. Semantics of
+   /root/reference/statistication/moving_average.py:43-94 (residual vs rolling
+   mean, sigma-rule threshold); rolling std is SAMPLE std (ddof=1) to match
+   pandas ``rolling(w).std()`` (moving_average.py:83-86), while the stationary
+   variant uses POPULATION std (numpy ``std()``, moving_average.py:58).
+2. ``sliding_zscore_pandas`` — the scale form: ``applyInPandas`` over
+   (key, salt-slice) groups with an exact ``w-1``-row halo, so no single
+   Python worker ever holds a whole hot key. The halo makes the window
+   CONTENTS identical to form 1 across slice boundaries; the float score may
+   differ from form 1 in the last ulps (Spark's frame aggregation and pandas'
+   rolling kernel order float additions differently — observed max relative
+   difference ~2e-12). Each form is individually deterministic across
+   parallelism levels. Tests assert rtol=1e-9 score agreement + identical
+   window contents.
+
+3. ``ewma_residual`` — one-step-ahead EWMA forecast residual
+   (``adjust=False`` recursion, the classic s_t = α·x_t + (1-α)·s_{t-1}).
+   Recursive ⇒ inherently ordered; computed per key in one vectorized pandas
+   group. For keys too hot for one worker, ``ewma_residual_chunked`` slices
+   time with a warm-up halo sized so the truncated tail of the recursion is
+   below double precision ((1-α)^H < 2^-60) — documented as
+   exact-to-the-last-ulp rather than algebraically exact.
+
+Thresholding: EXACT ``percentile`` (linear interpolation — same rule as
+``np.percentile``, reference prediction/lstm_mts.py:344-355); never
+``percentile_approx``. Labels are +1 anomaly / -1 normal (README.md:6-7).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+from ..functions.metrics import prf  # noqa: F401  (re-exported convenience)
+
+
+def sliding_zscore(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    w: int,
+    k: float = 3.0,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Rolling z-score + sigma-rule label, pure window frames (JVM path).
+
+    score = |x − rolling_mean_w| / rolling_std_w (ddof=1); label = +1 when
+    score > k else -1. First ``min_periods-1`` rows per key get null
+    score / label -1 (pandas ``rolling(w)`` NaN head semantics, reference
+    moving_average.py:79-86).
+    """
+    mp = w if min_periods is None else min_periods
+    win = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-(w - 1), 0)
+    cnt_w = F.count(val_col).over(win)
+    mu = F.avg(val_col).over(win)
+    sd = F.stddev_samp(val_col).over(win)
+    score = F.when(
+        (cnt_w >= mp) & (sd > 0), F.abs(F.col(val_col) - mu) / sd
+    )
+    return (
+        df.withColumn("roll_mean", mu)
+        .withColumn("roll_std", sd)
+        .withColumn("score", score)
+        .withColumn(
+            "label", F.when(F.col("score") > k, F.lit(1)).otherwise(F.lit(-1))
+        )
+    )
+
+
+def _slice_with_halo(
+    df: DataFrame, keys: list[str], order_col: str, rows_per_slice: int, halo: int
+) -> DataFrame:
+    """Assign each row a (key, slice) and replicate the trailing ``halo`` rows
+    of slice s into slice s+1 (SURVEY.md §4.2 halo-row construction).
+
+    Slice index comes from ``row_number`` per key — deterministic given a
+    total order (callers must pass a tie-broken order_col). The union'd halo
+    copies are marked ``_halo=true`` and dropped from the output after
+    scoring; they exist only to warm up the finite window.
+    """
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    base = df.withColumn("_rn", F.row_number().over(w) - 1)
+    base = base.withColumn("_slice", (F.col("_rn") / rows_per_slice).cast("int"))
+    own = base.withColumn("_halo", F.lit(False))
+    halo_rows = (
+        base.filter((F.col("_rn") % rows_per_slice) >= rows_per_slice - halo)
+        .withColumn("_slice", F.col("_slice") + 1)
+        .withColumn("_halo", F.lit(True))
+    )
+    return own.unionByName(halo_rows)
+
+
+def sliding_zscore_pandas(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    w: int,
+    k: float = 3.0,
+    rows_per_slice: int = 100_000,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Scale form of :func:`sliding_zscore`: applyInPandas over
+    (key, time-slice) with an exact (w-1)-row halo. Identical output.
+    """
+    mp = w if min_periods is None else min_periods
+    halo = w - 1
+    sliced = _slice_with_halo(df, keys, order_col, rows_per_slice, halo)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("roll_mean", DoubleType()),
+            StructField("roll_std", DoubleType()),
+            StructField("score", DoubleType()),
+            StructField("label", IntegerType()),
+        ]
+    )
+    data_cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        r = pdf[val_col].rolling(w, min_periods=mp)
+        mu, sd = r.mean(), r.std(ddof=1)
+        score = (pdf[val_col] - mu).abs() / sd
+        score = score.where(sd > 0)
+        out = pdf.assign(
+            roll_mean=mu,
+            roll_std=sd,
+            score=score,
+            label=(score > k).map({True: 1, False: -1}).fillna(-1).astype("int32"),
+        )
+        out = out[~out["_halo"]]
+        return out[data_cols + ["roll_mean", "roll_std", "score", "label"]]
+
+    return (
+        sliced.groupBy(*keys, "_slice")
+        .applyInPandas(kernel, schema=out_schema)
+    )
+
+
+def ewma_residual(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """One-step-ahead EWMA forecast residual per key (W10).
+
+    level_t = α·x_t + (1-α)·level_{t-1}; resid_t = x_t − level_{t-1}
+    (level_{-1} := x_0 ⇒ resid_0 = 0). score = |resid|. One vectorized pandas
+    group per key — exact; use :func:`ewma_residual_chunked` for hot keys.
+    """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("ewma_level", DoubleType()), StructField("resid", DoubleType()), StructField("score", DoubleType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        level = pdf[val_col].ewm(alpha=alpha, adjust=False).mean()
+        prior = level.shift(1)
+        resid = (pdf[val_col] - prior).fillna(0.0)
+        return pdf.assign(ewma_level=level, resid=resid, score=resid.abs())[
+            cols + ["ewma_level", "resid", "score"]
+        ]
+
+    return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
+
+
+def ewma_halo_rows(alpha: float, ulp_pow: int = 64) -> int:
+    """Warm-up halo length H with (1-alpha)^H < 2^-ulp_pow."""
+    return max(1, math.ceil(-ulp_pow * math.log(2) / math.log1p(-alpha)))
+
+
+def ewma_residual_chunked(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    alpha: float = 0.1,
+    rows_per_slice: int = 200_000,
+) -> DataFrame:
+    """Chunked EWMA for hot keys: slices with a decay-sized warm-up halo.
+
+    Exact to double precision (truncated recursion tail < 2^-64 of the
+    level's magnitude); head rows of each slice are recomputed from the halo.
+    """
+    halo = ewma_halo_rows(alpha)
+    sliced = _slice_with_halo(df, keys, order_col, rows_per_slice, halo)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("ewma_level", DoubleType()), StructField("resid", DoubleType()), StructField("score", DoubleType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort")
+        level = pdf[val_col].ewm(alpha=alpha, adjust=False).mean()
+        prior = level.shift(1)
+        resid = pdf[val_col] - prior
+        # resid_0 of the WHOLE series is 0; slice 0's first row is genuine.
+        first_global = pdf["_rn"].iloc[0] == 0 if len(pdf) else False
+        resid = resid.fillna(0.0) if first_global else resid
+        out = pdf.assign(ewma_level=level, resid=resid, score=resid.abs())
+        out = out[~out["_halo"]]
+        return out[cols + ["ewma_level", "resid", "score"]]
+
+    return sliced.groupBy(*keys, "_slice").applyInPandas(kernel, schema=out_schema)
+
+
+def percentile_threshold(df: DataFrame, score_col: str, q: float, keys: list[str] | None = None) -> DataFrame:
+    """EXACT percentile threshold (q in [0,100]) — numpy linear-interpolation
+    semantics (reference lstm_mts.py:344-355). Grouped when ``keys`` given."""
+    expr = F.percentile(score_col, F.lit(q / 100.0)).alias("threshold")
+    if keys:
+        return df.groupBy(*keys).agg(expr)
+    return df.agg(expr)
+
+
+def apply_threshold(df: DataFrame, score_col: str, threshold_df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Attach ±1 predicted tag by broadcast-joining the (tiny) threshold table."""
+    if keys:
+        joined = df.join(F.broadcast(threshold_df), keys, "left")
+    else:
+        joined = df.crossJoin(F.broadcast(threshold_df))
+    return joined.withColumn(
+        "tag_pred",
+        F.when(F.col(score_col) > F.col("threshold"), F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str,
+    truth_col: str,
+    qs: list[int] | None = None,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """(q, threshold, precision, recall, f1) table — the reference's score
+    sweep q ∈ {0,10,…,100} (lstm_mts.py:534-549) as one Spark plan:
+    exact grouped percentiles → explode q literals → conditional aggs.
+    """
+    qs = qs or list(range(0, 101, 10))
+    keys = keys or []
+    # one percentile(array) agg per key → explode to (q, threshold) rows
+    th = (
+        df.groupBy(*keys)
+        .agg(
+            F.percentile(score_col, F.array(*[F.lit(q / 100.0) for q in qs])).alias("_ths")
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in qs]).alias("q"),
+                    F.col("_ths").alias("threshold"),
+                )
+            ).alias("_z"),
+        )
+        .select(*keys, F.col("_z.q").alias("q"), F.col("_z.threshold").alias("threshold"))
+    )
+    joined = df.join(F.broadcast(th), keys, "inner") if keys else df.crossJoin(F.broadcast(th))
+    pred = F.when(F.col(score_col) > F.col("threshold"), 1).otherwise(-1)
+    truth = F.col(truth_col)
+    tp = F.sum(((pred == 1) & (truth == 1)).cast("long")).alias("tp")
+    fp = F.sum(((pred == 1) & (truth != 1)).cast("long")).alias("fp")
+    fn = F.sum(((pred != 1) & (truth == 1)).cast("long")).alias("fn")
+    agg = joined.groupBy(*keys, "q", "threshold").agg(tp, fp, fn)
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    out = agg.withColumn("precision", p).withColumn("recall", r)
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    return out.withColumn("f1", f1).drop("tp", "fp", "fn").orderBy(*keys, "q")

@@ -1,0 +1,85 @@
+"""Exact rolled-up-point matching at every retention tier (north rule) vs a
+pandas resample oracle, plus token pass-through equality and partitioning
+invariance (SURVEY.md §5.2 items 4 and 8). Cross-process local[8]/local[32]
+invariance is evidenced by bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mtsad_spark.operators.rollup import TIER_ORDER, rollup_tiers
+
+PD_FREQ = {"1m": "min", "1h": "h", "1d": "D"}
+
+
+def pandas_rollup_oracle(pdf: pd.DataFrame, tier: str) -> pd.DataFrame:
+    """Oracle: pandas groupby-resample with the engine's exact-partial algebra
+    (integer Σx/Σx²; mean/std derived by the same single float expression —
+    SURVEY.md §4.2 #3). std is population (ddof=0) per reference
+    prediction/lstm_model.py:129-140 numpy semantics.
+    """
+    x = pdf.assign(bucket_ts=pdf["ingest_ts"].dt.floor(PD_FREQ[tier]))
+    v = x["n_tok"].astype("int64")
+    g = x.assign(_v=v, _v2=v * v).groupby(["source", "bucket_ts"], sort=True)
+    out = g.agg(
+        cnt=("_v", "size"),
+        sum_v=("_v", "sum"),
+        s2=("_v2", "sum"),
+        vmin=("_v", "min"),
+        vmax=("_v", "max"),
+    ).reset_index()
+    mean = out["sum_v"].astype("float64") / out["cnt"]
+    var = out["s2"].astype("float64") / out["cnt"] - mean * mean
+    out["mean"] = mean
+    out["std"] = np.sqrt(np.maximum(var, 0.0))
+    return out.drop(columns=["s2"])
+
+
+@pytest.fixture(scope="module")
+def tiers_pandas(seq_df):
+    finalized, _ = rollup_tiers(seq_df, "ingest_ts", "n_tok", ["source"])
+    return {
+        t: finalized[t].toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+        for t in TIER_ORDER
+    }
+
+
+@pytest.mark.parametrize("tier", TIER_ORDER)
+def test_rollup_exact_vs_pandas(seq_pdf, tiers_pandas, tier):
+    got = tiers_pandas[tier]
+    want = pandas_rollup_oracle(seq_pdf, tier)
+    assert len(got) == len(want)
+    assert (got["source"].values == want["source"].values).all()
+    assert (got["bucket_ts"].values == want["bucket_ts"].values).all()
+    for c in ("cnt", "sum_v", "vmin", "vmax"):
+        assert (got[c].values == want[c].values).all(), c
+    # bitwise float equality — exact integer partials make this achievable
+    assert (got["mean"].values == want["mean"].values).all()
+    assert (got["std"].values == want["std"].values).all()
+
+
+def test_partitioning_invariance(spark, seq_df, tiers_pandas):
+    """Bitwise-identical rollups when the input arrives in a different
+    partitioning/order — order-independence of the exact partial merge,
+    the in-process proxy for N vs 4N executors."""
+    scrambled = seq_df.repartition(13, "doc_id")
+    finalized, _ = rollup_tiers(scrambled, "ingest_ts", "n_tok", ["source"])
+    got = finalized["1m"].toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    base = tiers_pandas["1m"]
+    for c in base.columns:
+        assert (got[c].values == base[c].values).all(), c
+
+
+def test_token_passthrough_equality(spark, seq_tok_df, tmp_path):
+    """input_hint invariant: tokens survive write → read byte-for-byte."""
+    path = str(tmp_path / "seq")
+    seq_tok_df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).toPandas().sort_values("doc_id").reset_index(drop=True)
+    orig = seq_tok_df.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig) == 2_000
+    assert (back["n_tok"].values == orig["n_tok"].values).all()
+    for got, want in zip(back["tokens"], orig["tokens"]):
+        assert np.array_equal(np.asarray(got), np.asarray(want))
