@@ -105,18 +105,21 @@ def mts2_wave(size: int = 8760, n_dims: int = 1, seed: int = SEED) -> pd.DataFra
     """
     rng = np.random.RandomState(seed)
     t = pd.date_range("2010-01-01 10:00:00", periods=size, freq="h")
-    x = np.arange(size, dtype=np.float64) / size
-    win = max(size // 20, 4)
+    # reference time axis: arange step 0.01 (gen_data.py:83) ⇒ base wave1
+    # sin(4πt)+1 has a 50-sample period; rider sin(10πt') a 20-sample period
+    x = np.arange(size, dtype=np.float64) * 0.01
+    win = max(int(round(size / 20)), 4)  # ANORMAL_PERCENT=20 (gen_data.py:29)
     starts = [int(size * f) for f in (0.15, 0.5, 0.8)]
     tag = np.full(size, -1, dtype=np.int32)
+    rider = np.sin(10 * np.pi * np.arange(win, dtype=np.float64) * 0.01)
     cols: dict[str, np.ndarray] = {}
     for d in range(n_dims):
         phase = d * 0.37
-        v = np.sin(4 * np.pi * (x + phase)) + np.sin(2 * np.pi * (x + phase))
+        v = np.sin(2 * 2 * np.pi * (x + phase)) + 1 + np.sin(2 * np.pi * (x + phase))
         v = v + rng.normal(0.0, 0.1, size)
         for s in starts:
-            sl = slice(s, min(s + win, size))
-            v[sl] = v[sl] + 3.0 * np.sin(10 * np.pi * x[sl])
+            end = min(s + win, size)
+            v[s:end] = v[s:end] + rider[: end - s]
         cols[f"v{d}"] = v
     for s in starts:
         tag[s : min(s + win, size)] = 1

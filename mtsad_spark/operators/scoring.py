@@ -63,11 +63,10 @@ def sliding_zscore(
     mp = w if min_periods is None else min_periods
     win = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-(w - 1), 0)
     cnt_w = F.count(val_col).over(win)
-    mu = F.avg(val_col).over(win)
-    sd = F.stddev_samp(val_col).over(win)
-    score = F.when(
-        (cnt_w >= mp) & (sd > 0), F.abs(F.col(val_col) - mu) / sd
-    )
+    # gate by min_periods like pandas rolling(w): head rows → null
+    mu = F.when(cnt_w >= mp, F.avg(val_col).over(win))
+    sd = F.when(cnt_w >= mp, F.stddev_samp(val_col).over(win))
+    score = F.when(sd > 0, F.abs(F.col(val_col) - mu) / sd)
     return (
         df.withColumn("roll_mean", mu)
         .withColumn("roll_std", sd)
@@ -93,9 +92,14 @@ def _slice_with_halo(
     base = df.withColumn("_rn", F.row_number().over(w) - 1)
     base = base.withColumn("_slice", (F.col("_rn") / rows_per_slice).cast("int"))
     own = base.withColumn("_halo", F.lit(False))
+    # a halo longer than one slice must replicate into EVERY slice whose
+    # warm-up range [s'*rps - halo, s'*rps) covers the row
+    n_ahead = -(-halo // rows_per_slice)  # ceil
     halo_rows = (
-        base.filter((F.col("_rn") % rows_per_slice) >= rows_per_slice - halo)
-        .withColumn("_slice", F.col("_slice") + 1)
+        base.withColumn("_j", F.explode(F.array(*[F.lit(j) for j in range(1, n_ahead + 1)])))
+        .filter(F.col("_rn") >= (F.col("_slice") + F.col("_j")) * rows_per_slice - halo)
+        .withColumn("_slice", F.col("_slice") + F.col("_j"))
+        .drop("_j")
         .withColumn("_halo", F.lit(True))
     )
     return own.unionByName(halo_rows)

@@ -1,0 +1,73 @@
+"""Deterministic splits / sampling / set ops (SURVEY.md O1-O8, P2).
+
+The reference splits positionally (80/20 by row index,
+/root/reference/prediction/lstm_model.py:86-87) or stratified per class
+(ensemblation/processor.py:405-416). At scale, positional semantics are
+reproduced with ``row_number`` over an explicit total order — never
+``randomSplit`` (non-deterministic across reruns) and never
+``monotonically_increasing_id`` (partitioning-dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def positional_slice(
+    df: DataFrame, order_col: str, start: int, end: int, keys: list[str] | None = None
+) -> DataFrame:
+    """P2: rows [start, end) by position within the (keys) order."""
+    w = Window.partitionBy(*(keys or [])).orderBy(order_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w) - 1)
+        .filter((F.col("_rn") >= start) & (F.col("_rn") < end))
+        .drop("_rn")
+    )
+
+
+def fraction_split(
+    df: DataFrame, order_col: str, frac: float, keys: list[str] | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """O3: deterministic 80/20-style positional split (lstm_model.py:86-87)."""
+    keys = keys or []
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    wk = Window.partitionBy(*keys)
+    tagged = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wk)
+    )
+    cut = (F.col("_n") * frac).cast("long")
+    train = tagged.filter(F.col("_rn") <= cut).drop("_rn", "_n")
+    test = tagged.filter(F.col("_rn") > cut).drop("_rn", "_n")
+    return train, test
+
+
+def stratified_split(
+    df: DataFrame, order_col: str, class_col: str, frac: float
+) -> tuple[DataFrame, DataFrame]:
+    """O4: per-class positional split then union (processor.py:405-416)."""
+    return fraction_split(df, order_col, frac, keys=[class_col])
+
+
+def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
+    """O1: deterministic row shuffle — orderBy(rand(seed)) with a stable
+    tiebreak; fixture-gen only, the engine itself never reorders rows
+    non-deterministically."""
+    return df.orderBy(F.rand(seed), *df.columns[:1])
+
+
+def dropin_augment(df: DataFrame, factor_max: int = 10, seed: int = 42) -> DataFrame:
+    """O8: duplicate each row randint(0, factor_max) times
+    (lstm_model.py:142-157) — seeded, fixture-only."""
+    n = (F.rand(seed) * factor_max).cast("int")
+    return df.withColumn("_k", F.explode(F.sequence(F.lit(1), n))).drop("_k")
+
+
+def label_encode(df: DataFrame, col: str, mapping: dict[str, int], out_col: str | None = None) -> DataFrame:
+    """P9: explicit string→int encode (when/otherwise chain), e.g.
+    {'anormal': 1, 'normal': -1} per reference prediction/lstm_model.py:25."""
+    out_col = out_col or f"{col}_encoded"
+    expr = None
+    for k, v in mapping.items():
+        expr = F.when(F.col(col) == k, v) if expr is None else expr.when(F.col(col) == k, v)
+    return df.withColumn(out_col, expr)

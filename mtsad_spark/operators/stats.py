@@ -1,0 +1,179 @@
+"""Statistical operators (SURVEY.md W5, W6, A1, A2, A4, A5, A13, P5).
+
+Every op is pure Spark SQL expressions / window frames — JVM-side, codegen'd,
+no Python. Exactness notes follow the reference's numpy/pandas semantics:
+
+* W5 ``moving_average_same``: np.convolve(x, ones(w)/w, 'same') — the sum over
+  the available rows of a CENTERED frame divided by the CONSTANT w (zero-padded
+  edges bias edge values low — reference statistication/moving_average.py:23-40).
+  Frame reach: left w//2, right (w-1)//2 (verified against numpy in tests).
+* sigma rules: stationary σ is POPULATION std of the residual (np.std ddof=0,
+  moving_average.py:55-63); rolling σ is SAMPLE std (pandas rolling().std()
+  ddof=1, moving_average.py:79-94) with the reference's backfill of the first
+  w-1 rows (fillna(method='backfill')).
+* A1 ``znorm``: population std (ddof=0) — prediction/lstm_model.py:129-140.
+* A2 ``minmax_fit``/``minmax_apply``/``minmax_invert``: scaler fit on train
+  only, applied to train+test, invertible — prediction/main.py:58-80.
+* A4/A5 ``median_mad``: exact percentile median; MAD both as mean-abs-dev
+  (statistication/hp.py:27-28) and modified z-score 0.6745·d/median(d)
+  (prediction/main.py:111-121).
+* A13 ``gaussian_params``/``gaussian_density``: per-column mean + var_pop
+  (np.var ddof=0, statistication/gaussian.py:37-66), diagonal-Σ density as a
+  column expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def moving_average_same(
+    df: DataFrame, keys: list[str], order_col: str, val_col: str, w: int, out_col: str = "ma"
+) -> DataFrame:
+    """W5: centered moving average with np.convolve 'same' zero-pad semantics."""
+    left, right = w // 2, (w - 1) // 2
+    win = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-left, right)
+    return df.withColumn(out_col, F.sum(val_col).over(win) / F.lit(float(w)))
+
+
+def sigma_rule_stationary(
+    df: DataFrame, keys: list[str], order_col: str, val_col: str, w: int, k: float = 2.0
+) -> DataFrame:
+    """Reference pipeline statistication/moving_average.py:43-63: residual vs
+    centered MA, STATIONARY population σ per key, |resid| > kσ ⇒ +1."""
+    out = moving_average_same(df, keys, order_col, val_col, w)
+    out = out.withColumn("resid", F.col(val_col) - F.col("ma"))
+    wk = Window.partitionBy(*keys)
+    out = out.withColumn("sigma", F.stddev_pop("resid").over(wk))
+    return out.withColumn(
+        "label",
+        F.when(F.abs(F.col("resid")) > k * F.col("sigma"), F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
+def sigma_rule_rolling(
+    df: DataFrame, keys: list[str], order_col: str, val_col: str, w: int, k: float = 2.0
+) -> DataFrame:
+    """Reference moving_average.py:66-94: rolling SAMPLE σ of the residual with
+    the first w-1 nulls backfilled (fillna backfill, :85-86)."""
+    out = moving_average_same(df, keys, order_col, val_col, w)
+    out = out.withColumn("resid", F.col(val_col) - F.col("ma"))
+    roll = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-(w - 1), 0)
+    cnt = F.count("resid").over(roll)
+    sigma = F.when(cnt >= w, F.stddev_samp("resid").over(roll))
+    out = out.withColumn("sigma", sigma)
+    # backfill: first non-null sigma in the current-or-following frame
+    fwd = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(0, Window.unboundedFollowing)
+    out = out.withColumn("sigma", F.first("sigma", ignorenulls=True).over(fwd))
+    return out.withColumn(
+        "label",
+        F.when(F.abs(F.col("resid")) > k * F.col("sigma"), F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
+def znorm(df: DataFrame, val_cols: list[str], keys: list[str] | None = None) -> DataFrame:
+    """A1: x := (x − mean)/std_pop per key group (global when keys empty).
+
+    Uses an empty/keyed Window so Catalyst computes the stats in-plan —
+    no collect, no crossJoin with a driver-side literal.
+    """
+    wk = Window.partitionBy(*(keys or []))
+    out = df
+    for c in val_cols:
+        mu = F.avg(c).over(wk)
+        sd = F.stddev_pop(c).over(wk)
+        out = out.withColumn(c, (F.col(c) - mu) / sd)
+    return out
+
+
+def minmax_fit(train: DataFrame, val_cols: list[str], keys: list[str] | None = None) -> DataFrame:
+    """A2: fit (min, max) per column on the TRAIN set only (main.py:60-71)."""
+    aggs = []
+    for c in val_cols:
+        aggs += [F.min(c).alias(f"{c}__min"), F.max(c).alias(f"{c}__max")]
+    return train.groupBy(*(keys or [])).agg(*aggs)
+
+
+def minmax_apply(
+    df: DataFrame, fitted: DataFrame, val_cols: list[str], keys: list[str] | None = None,
+    feature_range: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    lo, hi = feature_range
+    joined = df.join(F.broadcast(fitted), keys or [], "left") if keys else df.crossJoin(F.broadcast(fitted))
+    for c in val_cols:
+        span = F.col(f"{c}__max") - F.col(f"{c}__min")
+        scaled = F.when(span != 0, (F.col(c) - F.col(f"{c}__min")) / span).otherwise(F.lit(0.0))
+        joined = joined.withColumn(c, scaled * (hi - lo) + lo)
+    return joined.drop(*[f"{c}__{m}" for c in val_cols for m in ("min", "max")])
+
+
+def minmax_invert(
+    df: DataFrame, fitted: DataFrame, val_cols: list[str], keys: list[str] | None = None,
+    feature_range: tuple[float, float] = (0.0, 1.0),
+) -> DataFrame:
+    lo, hi = feature_range
+    joined = df.join(F.broadcast(fitted), keys or [], "left") if keys else df.crossJoin(F.broadcast(fitted))
+    for c in val_cols:
+        span = F.col(f"{c}__max") - F.col(f"{c}__min")
+        joined = joined.withColumn(
+            c, (F.col(c) - lo) / (hi - lo) * span + F.col(f"{c}__min")
+        )
+    return joined.drop(*[f"{c}__{m}" for c in val_cols for m in ("min", "max")])
+
+
+def median_mad(df: DataFrame, val_col: str, keys: list[str] | None = None) -> DataFrame:
+    """A4 + A5: exact median, mean-abs-deviation from mean (hp.py:27-28) and
+    median-abs-deviation (basis of the modified z, prediction/main.py:111-121).
+    Two-pass: centers first, then deviations — one extra rollup-sized join.
+    """
+    keys = keys or []
+    centers = df.groupBy(*keys).agg(
+        F.percentile(val_col, F.lit(0.5)).alias("median"),
+        F.avg(val_col).alias("_mean"),
+    )
+    joined = df.join(F.broadcast(centers), keys, "inner") if keys else df.crossJoin(F.broadcast(centers))
+    return joined.groupBy(*keys).agg(
+        F.first("median").alias("median"),
+        F.avg(F.abs(F.col(val_col) - F.col("_mean"))).alias("mean_abs_dev"),
+        F.percentile(F.abs(F.col(val_col) - F.col("median")), F.lit(0.5)).alias("median_abs_dev"),
+    )
+
+
+def modified_zscore(df: DataFrame, val_col: str, keys: list[str] | None = None) -> DataFrame:
+    """A5 modified z: 0.6745·|x − median| / median(|x − median|)
+    (prediction/main.py:111-121)."""
+    keys = keys or []
+    stats = median_mad(df, val_col, keys)
+    joined = df.join(F.broadcast(stats), keys, "inner") if keys else df.crossJoin(F.broadcast(stats))
+    return joined.withColumn(
+        "mod_z",
+        F.lit(0.6745) * F.abs(F.col(val_col) - F.col("median")) / F.col("median_abs_dev"),
+    ).drop("median", "mean_abs_dev", "median_abs_dev")
+
+
+def gaussian_params(df: DataFrame, val_cols: list[str], keys: list[str] | None = None) -> DataFrame:
+    """A13: per-column (mean, var_pop) — np.var ddof=0 (gaussian.py:37-66)."""
+    aggs = []
+    for c in val_cols:
+        aggs += [F.avg(c).alias(f"{c}__mu"), F.var_pop(c).alias(f"{c}__var")]
+    return df.groupBy(*(keys or [])).agg(*aggs)
+
+
+def gaussian_density(
+    df: DataFrame, params: DataFrame, val_cols: list[str], keys: list[str] | None = None,
+    out_col: str = "density",
+) -> DataFrame:
+    """A13: diagonal-Σ multivariate normal density as one column expression
+    (gaussian.py:69-99 with diag covariance)."""
+    joined = df.join(F.broadcast(params), keys or [], "left") if keys else df.crossJoin(F.broadcast(params))
+    log_dens = F.lit(0.0)
+    for c in val_cols:
+        mu, var = F.col(f"{c}__mu"), F.col(f"{c}__var")
+        log_dens = log_dens + (
+            -0.5 * F.log(F.lit(2 * math.pi) * var) - F.pow(F.col(c) - mu, 2) / (2 * var)
+        )
+    out = joined.withColumn(out_col, F.exp(log_dens))
+    return out.drop(*[f"{c}__{m}" for c in val_cols for m in ("mu", "var")])

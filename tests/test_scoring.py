@@ -1,0 +1,194 @@
+"""Scoring path: rolling z-score vs pandas oracle, pandas/halo form agreement,
+EWMA recursion vs pandas ewm, exact percentile vs numpy, sweep + P/R/F1, and
+the dataset-level anomaly fixture (north rule): the scorers must recover the
+injected anomaly windows of the MTS² wave (bounded-outcome assertions in the
+style of /root/reference/tsbitmaps/test/test_tsbitmaps.py:38-54).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtsad_spark.fixtures import mts2_wave, mts2_wave_df
+from mtsad_spark.functions.metrics import prf
+from mtsad_spark.operators.rollup import rollup_tiers
+from mtsad_spark.operators.scoring import (
+    ewma_residual,
+    ewma_residual_chunked,
+    percentile_threshold,
+    sliding_zscore,
+    sliding_zscore_pandas,
+    threshold_sweep,
+)
+
+
+@pytest.fixture(scope="module")
+def rollup_1m(seq_df):
+    finalized, _ = rollup_tiers(seq_df, "ingest_ts", "n_tok", ["source"])
+    return finalized["1m"].cache()
+
+
+def test_sliding_zscore_vs_pandas_oracle(spark, rollup_1m):
+    w = 15
+    got = (
+        sliding_zscore(rollup_1m, ["source"], "bucket_ts", "mean", w=w, k=2.5)
+        .select("source", "bucket_ts", "roll_mean", "roll_std", "score", "label")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pdf = rollup_1m.select("source", "bucket_ts", "mean").toPandas()
+    outs = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("bucket_ts")
+        r = g["mean"].rolling(w)
+        mu, sd = r.mean(), r.std(ddof=1)
+        score = (g["mean"] - mu).abs() / sd
+        outs.append(
+            pd.DataFrame(
+                {"source": src, "bucket_ts": g["bucket_ts"], "mu": mu, "sd": sd, "score": score}
+            )
+        )
+    want = pd.concat(outs).sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for a, b in (("roll_mean", "mu"), ("roll_std", "sd"), ("score", "score")):
+        x, y = got[a].values, want[b].values
+        nx, ny = np.isnan(x), np.isnan(y)
+        assert (nx == ny).all(), a
+        assert np.allclose(x[~nx], y[~ny], rtol=1e-9), a
+    # labels: +1 iff score > k
+    exp_label = np.where(np.nan_to_num(want["score"].values, nan=-1) > 2.5, 1, -1)
+    assert (got["label"].values == exp_label).all()
+
+
+def test_zscore_halo_form_matches_sql_form(spark, rollup_1m):
+    w = 10
+    a = (
+        sliding_zscore(rollup_1m, ["source"], "bucket_ts", "mean", w=w)
+        .select("source", "bucket_ts", "score", "label")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sliding_zscore_pandas(
+            rollup_1m, ["source"], "bucket_ts", "mean", w=w, rows_per_slice=23
+        )
+        .select("source", "bucket_ts", "score", "label")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    na, nb = a["score"].isna().values, b["score"].isna().values
+    assert (na == nb).all()
+    assert np.allclose(a["score"].values[~na], b["score"].values[~nb], rtol=1e-9)
+    assert (a["label"].values == b["label"].values).all()
+
+
+def test_ewma_vs_pandas_and_chunked(spark, rollup_1m):
+    alpha = 0.15
+    got = (
+        ewma_residual(rollup_1m, ["source"], "bucket_ts", "mean", alpha=alpha)
+        .select("source", "bucket_ts", "ewma_level", "resid")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    pdf = rollup_1m.select("source", "bucket_ts", "mean").toPandas()
+    outs = []
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values("bucket_ts")
+        level = g["mean"].ewm(alpha=alpha, adjust=False).mean()
+        resid = (g["mean"] - level.shift(1)).fillna(0.0)
+        outs.append(pd.DataFrame({"source": src, "bucket_ts": g["bucket_ts"], "lv": level, "rs": resid}))
+    want = pd.concat(outs).sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    assert np.allclose(got["ewma_level"].values, want["lv"].values, rtol=1e-12)
+    assert np.allclose(got["resid"].values, want["rs"].values, rtol=1e-12, atol=1e-12)
+
+    chunked = (
+        ewma_residual_chunked(
+            rollup_1m, ["source"], "bucket_ts", "mean", alpha=alpha, rows_per_slice=40
+        )
+        .select("source", "bucket_ts", "ewma_level", "resid")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(chunked) == len(got)
+    assert np.allclose(chunked["ewma_level"].values, got["ewma_level"].values, rtol=1e-12)
+    assert np.allclose(chunked["resid"].values, got["resid"].values, rtol=1e-12, atol=1e-12)
+
+
+def test_exact_percentile_vs_numpy(spark):
+    rng = np.random.RandomState(3)
+    vals = rng.randn(1013) * 7.5
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    for q in (0, 10, 37.5, 50, 90, 100):
+        got = percentile_threshold(df, "v", q).collect()[0]["threshold"]
+        want = np.percentile(vals, q)  # linear interpolation — same rule
+        assert got == pytest.approx(want, rel=1e-12), q
+
+
+def test_threshold_sweep_and_prf_vs_sklearn_semantics(spark):
+    rng = np.random.RandomState(9)
+    score = np.abs(rng.randn(2000))
+    truth = np.where(score + rng.randn(2000) * 0.3 > 1.5, 1, -1)
+    df = spark.createDataFrame(pd.DataFrame({"score": score, "truth": truth}))
+    sweep = threshold_sweep(df, "score", "truth").toPandas()
+    assert list(sweep["q"]) == list(range(0, 101, 10))
+    # oracle per q — manual TP/FP/FN (reference lstm_model.py:310-343)
+    for _, row in sweep.iterrows():
+        th = np.percentile(score, row["q"])
+        pred = np.where(score > th, 1, -1)
+        tp = int(((pred == 1) & (truth == 1)).sum())
+        fp = int(((pred == 1) & (truth != 1)).sum())
+        fn = int(((pred != 1) & (truth == 1)).sum())
+        p = tp / (tp + fp) if tp + fp else 0.0
+        r = tp / (tp + fn) if tp + fn else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        assert row["precision"] == pytest.approx(p, rel=1e-12)
+        assert row["recall"] == pytest.approx(r, rel=1e-12)
+        assert row["f1"] == pytest.approx(f1, rel=1e-12)
+
+    pred_df = df.withColumn("pred", F.when(F.col("score") > 1.5, 1).otherwise(-1))
+    m = prf(pred_df, "truth", "pred").collect()[0]
+    pred = np.where(score > 1.5, 1, -1)
+    assert m["tp"] == int(((pred == 1) & (truth == 1)).sum())
+    assert m["tn"] == int(((pred == -1) & (truth == -1)).sum())
+
+
+def test_anomaly_fixture_recovery(spark):
+    """Dataset-level fixture (north rule): the reference's own sigma-rule
+    pipeline (centered-MA residual + stationary σ,
+    statistication/moving_average.py:43-63) over the MTS² wave recovers the
+    injected anomaly windows — bounded-outcome style of
+    tsbitmaps/test/test_tsbitmaps.py:50,54 plus a recall floor."""
+    from mtsad_spark.operators.stats import sigma_rule_stationary
+
+    pdf = mts2_wave(size=4000)
+    df = mts2_wave_df(spark, size=4000).withColumn("series", F.lit("s0"))
+    scored = sigma_rule_stationary(df, ["series"], "t", "v0", w=15, k=2.0)
+    got = scored.select("t", "label").toPandas().sort_values("t").reset_index(drop=True)
+    truth = pdf.sort_values("t")["tag"].values
+    pred = got["label"].values
+    tp = int(((pred == 1) & (truth == 1)).sum())
+    fp = int(((pred == 1) & (truth == -1)).sum())
+    n_anom = int((truth == 1).sum())
+    assert tp > 0.3 * n_anom, f"recovered too few anomalies: {tp}/{n_anom}"
+    assert fp < 0.02 * len(truth), f"too many false positives: {fp}"
+    # every injected window must contain at least one fired point
+    starts = [int(4000 * f) for f in (0.15, 0.5, 0.8)]
+    win = int(round(4000 / 20))
+    for s in starts:
+        assert (pred[s : s + win] == 1).any(), f"window at {s} not detected"
+    # EWMA scorer also fires inside the windows
+    e = ewma_residual(df, ["series"], "t", "v0", alpha=0.3)
+    th = percentile_threshold(e, "score", 95).collect()[0]["threshold"]
+    epdf = e.select("t", "score").toPandas().sort_values("t").reset_index(drop=True)
+    epred = np.where(epdf["score"].values > th, 1, -1)
+    etp = int(((epred == 1) & (truth == 1)).sum())
+    assert etp > 0.2 * n_anom

@@ -1,0 +1,133 @@
+"""Golden tests: each statistical operator vs a numpy/pandas oracle
+re-implementing the cited reference semantics exactly (SURVEY.md §5.2 item 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtsad_spark.fixtures import uts_plain, uts_plain_df
+from mtsad_spark.operators.stats import (
+    gaussian_density,
+    gaussian_params,
+    median_mad,
+    minmax_apply,
+    minmax_fit,
+    minmax_invert,
+    modified_zscore,
+    moving_average_same,
+    sigma_rule_rolling,
+    sigma_rule_stationary,
+    znorm,
+)
+
+
+@pytest.fixture(scope="module")
+def uts(spark):
+    return uts_plain_df(spark, size=500).withColumn("k", F.lit("a")).cache()
+
+
+@pytest.fixture(scope="module")
+def uts_pdf():
+    return uts_plain(size=500)
+
+
+@pytest.mark.parametrize("w", [3, 4, 7, 10, 25])
+def test_moving_average_matches_np_convolve(spark, uts, uts_pdf, w):
+    """W5 — THE exactness trap: sum over available rows / constant w, centered
+    'same' kernel (left reach w//2, right reach (w-1)//2)."""
+    got = (
+        moving_average_same(uts, ["k"], "idx", "value", w)
+        .orderBy("idx")
+        .select("ma")
+        .toPandas()["ma"]
+        .values
+    )
+    want = np.convolve(uts_pdf["value"].values, np.ones(w) / w, "same")
+    assert np.allclose(got, want, rtol=1e-12, atol=1e-12), w
+
+
+def test_sigma_rule_stationary_oracle(spark, uts, uts_pdf):
+    w, k = 10, 2.0
+    got = (
+        sigma_rule_stationary(uts, ["k"], "idx", "value", w, k)
+        .orderBy("idx")
+        .select("resid", "sigma", "label")
+        .toPandas()
+    )
+    v = uts_pdf["value"].values
+    resid = v - np.convolve(v, np.ones(w) / w, "same")
+    sigma = resid.std()  # ddof=0
+    pred = np.where(np.abs(resid) > k * sigma, 1, -1)
+    assert np.allclose(got["resid"].values, resid, rtol=1e-12, atol=1e-12)
+    assert got["sigma"].values[0] == pytest.approx(sigma, rel=1e-12)
+    assert (got["label"].values == pred).all()
+    assert (pred == 1).sum() > 0  # the rule actually fires somewhere
+
+
+def test_sigma_rule_rolling_backfill(spark, uts, uts_pdf):
+    w = 12
+    got = (
+        sigma_rule_rolling(uts, ["k"], "idx", "value", w, 2.0)
+        .orderBy("idx")
+        .select("sigma")
+        .toPandas()["sigma"]
+        .values
+    )
+    v = pd.Series(uts_pdf["value"].values)
+    resid = v - np.convolve(v, np.ones(w) / w, "same")
+    sigma = resid.rolling(w).std().bfill().values  # ddof=1 + backfill (:85-86)
+    assert np.allclose(got, sigma, rtol=1e-9)
+
+
+def test_znorm_population_std(spark, uts, uts_pdf):
+    got = znorm(uts, ["value"], keys=["k"]).orderBy("idx").toPandas()["value"].values
+    v = uts_pdf["value"].values
+    want = (v - v.mean()) / v.std()  # ddof=0 (lstm_model.py:129-140)
+    assert np.allclose(got, want, rtol=1e-12)
+
+
+def test_minmax_fit_apply_invert(spark, uts, uts_pdf):
+    train = uts.filter("idx < 400")
+    fitted = minmax_fit(train, ["value"])
+    scaled = minmax_apply(uts, fitted, ["value"])
+    back = minmax_invert(scaled, fitted, ["value"]).orderBy("idx").toPandas()
+    assert np.allclose(back["value"].values, uts_pdf["value"].values, rtol=1e-12)
+    v = uts_pdf["value"].values
+    tmin, tmax = v[:400].min(), v[:400].max()
+    want = (v - tmin) / (tmax - tmin)  # fit on train, applied to all (main.py:58-80)
+    got = scaled.orderBy("idx").toPandas()["value"].values
+    assert np.allclose(got, want, rtol=1e-12)
+    # test rows outside the train range CAN exceed [0,1] — scaler is not refit
+    assert got.max() >= 1.0 or got.min() <= 0.0 or (0 <= got).all()
+
+
+def test_median_mad_modified_z(spark, uts, uts_pdf):
+    row = median_mad(uts, "value").collect()[0]
+    v = uts_pdf["value"].values
+    assert row["median"] == pytest.approx(np.median(v), rel=1e-12)
+    assert row["mean_abs_dev"] == pytest.approx(np.abs(v - v.mean()).mean(), rel=1e-12)
+    d = np.abs(v - np.median(v))
+    assert row["median_abs_dev"] == pytest.approx(np.median(d), rel=1e-12)
+    mz = modified_zscore(uts, "value").orderBy("idx").toPandas()["mod_z"].values
+    want = 0.6745 * d / np.median(d)  # prediction/main.py:111-121
+    assert np.allclose(mz, want, rtol=1e-12)
+
+
+def test_gaussian_density_oracle(spark):
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame({"x": rng.randn(800) * 2 + 1, "y": rng.randn(800) * 0.5 - 3})
+    df = spark.createDataFrame(pdf)
+    params = gaussian_params(df, ["x", "y"])
+    got = gaussian_density(df, params, ["x", "y"]).toPandas()
+    mu_x, var_x = pdf["x"].mean(), pdf["x"].var(ddof=0)
+    mu_y, var_y = pdf["y"].mean(), pdf["y"].var(ddof=0)
+
+    def dens(x, mu, var):
+        return np.exp(-((x - mu) ** 2) / (2 * var)) / np.sqrt(2 * np.pi * var)
+
+    want = dens(got["x"].values, mu_x, var_x) * dens(got["y"].values, mu_y, var_y)
+    assert np.allclose(got["density"].values, want, rtol=1e-10)
