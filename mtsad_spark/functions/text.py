@@ -1,0 +1,115 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in ``pyspark.sql.functions`` string/regex expressions —
+whole-stage-codegen'd, pushdown-friendly, no Python. Each function ADDS
+columns so they compose in one projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram heuristic
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+}
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens = maximal non-space runs (regexp_count, JVM-side)."""
+    return F.regexp_count(text, F.lit(r"\S+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored proxy: word pieces + digits + punctuation as separate
+    tokens (the GPT-2 pre-tokenizer's coarse shape, public regex)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def with_quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Length / punctuation / stopword / repetition features + a quality flag.
+
+    Heuristics follow public web-corpus filtering practice (C4/Gopher-style
+    rules): bounded length, bounded mean word length, symbol ratio, stopword
+    presence.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = whitespace_token_count(t)
+    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    n_stop = F.regexp_count(
+        F.lower(t), F.lit(r"\b(the|and|of|to|is|in|that|it|was|for)\b")
+    )
+    mean_word_len = F.when(n_tokens > 0, n_chars.cast("double") / n_tokens)
+    out = (
+        df.withColumn("n_chars_m", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn("mean_word_len", F.round(mean_word_len, 6))
+        .withColumn("punct_ratio", F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("digit_ratio", F.round(n_digit / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("alpha_ratio", F.round(n_alpha / F.greatest(n_chars, F.lit(1)), 6))
+        .withColumn("stopword_count", n_stop)
+    )
+    quality = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_word_len") >= 2)
+        & (F.col("mean_word_len") <= 15)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("alpha_ratio") >= 0.5)
+    )
+    return out.withColumn("quality_ok", quality)
+
+
+def with_lang_id(df: DataFrame, text_col: str, out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language heuristic: argmax of per-language marker hit
+    counts; 'und' (undetermined) when nothing fires."""
+    t = F.lower(F.col(text_col))
+    scores = []
+    out = df
+    for lang, words in _LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(words) + r")\b"
+        out = out.withColumn(f"_sc_{lang}", F.regexp_count(t, F.lit(pat)))
+        scores.append(lang)
+    best = None
+    for lang in scores:
+        c = F.col(f"_sc_{lang}")
+        if best is None:
+            best = F.struct(c.alias("s"), F.lit(lang).alias("l"))
+        else:
+            best = F.when(F.col(f"_sc_{lang}") > best["s"], F.struct(c.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    out = out.withColumn(
+        out_col, F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    )
+    return out.drop(*[f"_sc_{lang}" for lang in scores])
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Normalization-invariant fingerprint: lowercase, strip non-alnum, md5.
+    Portable across engines (same result in DuckDB: md5(regexp_replace(...)))."""
+    return F.md5(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, window: int = 32, stride: int = 16
+) -> DataFrame:
+    """Winnowing-style substring fingerprints: hash every stride-aligned
+    window of the normalized text → (id, pos, fp). Basis for containment /
+    plagiarism-style overlap detection at corpus scale."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    positions = F.sequence(
+        F.lit(0),
+        F.greatest((F.length(norm) - window), F.lit(0)),
+        F.lit(stride),
+    )
+    fps = F.transform(positions, lambda p: F.xxhash64(F.substr(norm, p + 1, F.lit(window))))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(fps).alias("pos", "fp"),
+    )

@@ -1,0 +1,201 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+All candidate generation is bucket-local (no all-pairs cross join): MinHash
+LSH bands and SimHash chunks both reduce the O(n²) pair space to within-bucket
+joins, which is the only strategy that survives 10^9+ documents. Exact dedup
+is a single hash-groupBy (map-side combinable).
+
+Everything is JVM-side Spark SQL (xxhash64, explode, higher-order functions) —
+no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash: (content_hash, canonical_id,
+    dup_count). canonical = min id (deterministic survivor pick)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct content (the min-id survivor)."""
+    canon = exact_dedup(df, id_col, text_col).select(
+        "content_hash", F.col("canonical_id").alias(id_col)
+    )
+    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    return hashed.join(F.broadcast(canon), ["content_hash", id_col], "inner").drop("content_hash")
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) rows: word-level k-gram shingles, lowercase. Distinct per
+    doc (set semantics for Jaccard)."""
+    # trim + drop empty tokens: Spark split keeps boundary empties that
+    # python's str.split() (the oracle semantics) discards
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: F.length(x) > 0
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, id_col: str, n_hashes: int = 64, seed: int = 42
+) -> DataFrame:
+    """MinHash signature per id: n_hashes columns of min(xxhash64(shingle, i)).
+
+    One hash-groupBy; the n min-aggregates are algebraic (map-side combined),
+    so a hot document set never concentrates on one task.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Band the signature, bucket-join within (band, band_hash): (id_a, id_b).
+
+    Classic MinHash-LSH banding: r = n_hashes/bands rows per band; docs
+    sharing any full band land in one bucket. The self-join is an equi-join on
+    the bucket key — shuffle-partitioned by bucket, never all-pairs.
+    """
+    r = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band") == F.col(f"r.band"))
+            & (F.col(f"l.bh") == F.col(f"r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float = 0.0
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs: |A∩B| via a shingle equi-join,
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    Both joins are equi-joins keyed by doc id then shingle — candidate-pair-
+    sized intermediates (pairs × avg shingles), never |docs|².
+    """
+    sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingled.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
+    → exact-Jaccard verify. Returns (id_a, id_b, jaccard) ≥ threshold."""
+    sh = word_shingles(df, id_col, text_col, k)
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, bands)
+    return jaccard_pairs(cand, sh, id_col, threshold)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side.
+
+    token → xxhash64 → per-bit ±1 votes → sign of vote sum per bit →
+    assembled long. Explode + one hash-groupBy with 64 conditional-sum
+    aggregates (algebraic, skew-safe).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = F.xxhash64(F.col("tok"), F.lit(seed))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidates via the 4×16-bit chunk pigeonhole (distance ≤ 3 ⇒ at least one
+    of 4 chunks equal) — bucket equi-join, then exact popcount verify.
+    """
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    s = sigs.select(F.col(id_col), F.col("simhash"), *chunks)
+    pairs = None
+    for c in range(4):
+        l = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
+        r = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
+        p = l.join(r, ["ck"]).filter(F.col("id_a") < F.col("id_b")).drop("ck")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.distinct()
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

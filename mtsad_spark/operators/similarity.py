@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set, keep the
+dot product inside JVM higher-order functions (``zip_with`` + ``aggregate``),
+rank per query. Scale path: LSH over random hyperplanes buckets the corpus so
+each query only scans its bucket (and optionally multi-probes neighbors).
+
+No Python UDF in either path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_cosine(df: DataFrame, a_col: str, b_col: str, out_col: str = "cosine") -> DataFrame:
+    a, b = F.col(a_col), F.col(b_col)
+    return df.withColumn(out_col, _dot(a, b) / (_norm(a) * _norm(b)))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — broadcast queries × scan corpus.
+
+    One corpus scan per ALL queries (the crossJoin is broadcast-nested-loop
+    with the tiny side broadcast); ranking is a per-query window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    joined = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
+    sim = joined.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame, vec_col: str, dim: int, n_planes: int = 12, seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id (int) from seeded random hyperplanes.
+
+    Planes are a deterministic numpy draw embedded as literals (tiny:
+    n_planes × dim) — same buckets on every executor and every run.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col)
+    for i in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        bit = (_dot(v, plane) > 0).cast("long")
+        bucket = bucket + bit * F.lit(1 << i).cast("long")
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: bucket corpus + queries by hyperplane LSH, brute-force only
+    within the query's bucket. Recall < 1 by construction (candidates sharing
+    the full sign pattern); raise recall with fewer planes or multi-probe.
+    """
+    cb = hyperplane_buckets(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv", dim, n_planes, seed,
+    )
+    qb = hyperplane_buckets(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv", dim, n_planes, seed,
+    )
+    joined = cb.join(F.broadcast(qb), "bucket").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = joined.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

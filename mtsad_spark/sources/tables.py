@@ -1,0 +1,69 @@
+"""Table provider seam: Iceberg catalog when available, parquet fallback.
+
+The production target (BASELINE.json input_hint) is an Iceberg table of
+pre-tokenized sequences read through the Spark SQL catalog
+(``spark.sql.catalog.<name> = org.apache.iceberg.spark.SparkCatalog``). The
+sandbox has no Iceberg runtime jar, so the same narrow API is backed by
+parquet directories; the engine code never branches on the backend.
+
+Both backends keep the properties the engine relies on:
+  - atomic visibility of a completed write (Iceberg snapshot commit /
+    parquet ``_SUCCESS`` marker),
+  - partition pruning on the layout keys (Iceberg hidden partitioning /
+    parquet hive-style ``partitionBy`` directories),
+  - schema-on-read with explicit StructType.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_catalog(spark: SparkSession) -> str | None:
+    """Name of a configured Iceberg catalog, or None (sandbox default)."""
+    try:
+        confs = spark.sparkContext.getConf().getAll()
+    except Exception:
+        return None
+    for k, v in confs:
+        if k.startswith("spark.sql.catalog.") and v.endswith("SparkCatalog"):
+            return k.split(".", 3)[3]
+    return None
+
+
+class TableProvider:
+    """Read/write named tables behind one seam."""
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        self.spark = spark
+        self.base_dir = base_dir
+        self.catalog = _iceberg_catalog(spark)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name)
+
+    def exists(self, name: str) -> bool:
+        if self.catalog:
+            return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+        if self.catalog:
+            w = df.writeTo(f"{self.catalog}.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
+            return
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(self.path(name))
+
+    def read(self, name: str) -> DataFrame:
+        if self.catalog:
+            return self.spark.read.table(f"{self.catalog}.{name}")
+        return self.spark.read.parquet(self.path(name))

@@ -1,0 +1,182 @@
+"""Dedup / similarity / text-analysis operators on synthetic documents, with
+numpy / python-set oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtsad_spark.functions.text import (
+    bpe_ish_token_count,
+    content_fingerprint,
+    rolling_hash_fingerprints,
+    whitespace_token_count,
+    with_lang_id,
+    with_quality_features,
+)
+from mtsad_spark.operators.dedup import (
+    exact_dedup,
+    drop_exact_dups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signatures,
+    simhash,
+    simhash_dup_pairs,
+    word_shingles,
+)
+from mtsad_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    with_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("quick", "rapid")),  # near dup of 0
+        (3, "völlig anderes dokument über der die und das ist thema heute"),
+        (4, "le chat noir et le chien blanc sont les amis des enfants"),
+        (5, "un texto en español que habla de el mar y los barcos que vienen"),
+        (6, "short"),
+        (7, "the " * 30),
+        (8, base + " with a small extra suffix attached here"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup(docs, "doc_id", "text").toPandas()
+    dup = groups[groups["dup_count"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["dup_count"] == 2
+    assert dup.iloc[0]["canonical_id"] == 0
+    kept = drop_exact_dups(docs, "doc_id", "text").toPandas()
+    assert len(kept) == 8  # 9 docs, one exact dup removed
+    assert 1 not in set(kept["doc_id"])
+
+
+def test_shingles_and_jaccard_oracle(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    pdf = docs.toPandas()
+
+    def oracle_shingles(text):
+        ws = text.lower().split()
+        return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 3, 0) + 1)}
+
+    got = sh.toPandas().groupby("doc_id")["shingle"].apply(set).to_dict()
+    for _, row in pdf.iterrows():
+        assert got.get(row["doc_id"], set()) == oracle_shingles(row["text"]), row["doc_id"]
+
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [0], "id_b": [2]}))
+    j = jaccard_pairs(pairs, sh, "doc_id").collect()[0]["jaccard"]
+    a, b = oracle_shingles(pdf.iloc[0]["text"]), oracle_shingles(pdf.iloc[2]["text"])
+    assert j == pytest.approx(len(a & b) / len(a | b))
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    out = minhash_dedup(docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in pairs  # exact dup certainly caught
+    # near dups (0,2) and (0,8) should be caught at threshold 0.5
+    assert (0, 2) in pairs
+    assert (0, 8) in pairs
+    # unrelated languages must not pair
+    assert all(not ({a, b} & {3, 4, 5}) for a, b in pairs)
+
+
+def test_minhash_signature_is_true_min(spark, docs):
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    sigs = minhash_signatures(sh, "doc_id", n_hashes=4).toPandas().set_index("doc_id")
+    shp = sh.withColumn("h0", F.xxhash64(F.col("shingle"), F.lit(42))).toPandas()
+    want = shp.groupby("doc_id")["h0"].min()
+    got = sigs["mh_0"]
+    for d in want.index:
+        assert got[d] == want[d]
+
+
+def test_simhash_near_dup(spark, docs):
+    sigs = simhash(docs, "doc_id", "text")
+    pairs = simhash_dup_pairs(sigs, "doc_id", max_hamming=10).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # identical text ⇒ hamming 0
+    h01 = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)]["hamming"].iloc[0]
+    assert h01 == 0
+
+
+def test_cosine_topk_vs_numpy(spark):
+    rng = np.random.RandomState(5)
+    emb = rng.randn(100, 16).astype(np.float64)
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": [list(map(float, e)) for e in emb]})
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id < 3")
+    got = cosine_topk_bruteforce(df, queries, k=5).toPandas()
+    norms = np.linalg.norm(emb, axis=1)
+    sims = emb @ emb.T / np.outer(norms, norms)
+    for q in range(3):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        top = np.argsort(-s, kind="stable")[:5]
+        mine = got[got["query_id"] == q].sort_values("rank")
+        assert list(mine["neighbor_id"]) == list(top)
+        assert np.allclose(mine["cosine"].values, s[top], rtol=1e-9)
+
+
+def test_lsh_ann_recall(spark):
+    rng = np.random.RandomState(6)
+    # clustered corpus so LSH buckets are meaningful
+    centers = rng.randn(5, 16) * 4
+    emb = np.vstack([c + rng.randn(40, 16) * 0.3 for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(200), "embedding": [list(map(float, e)) for e in emb]})
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id IN (0, 40, 80)")
+    exact = cosine_topk_bruteforce(df, queries, k=5).toPandas()
+    approx = cosine_topk_lsh(df, queries, dim=16, k=5, n_planes=4).toPandas()
+    # recall@5 ≥ 0.6 on well-separated clusters
+    rec = 0.0
+    for q in (0, 40, 80):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        rec += len(e & a) / 5
+    assert rec / 3 >= 0.6
+
+
+def test_token_counts_and_quality(spark, docs):
+    out = (
+        docs.withColumn("n_ws", whitespace_token_count(F.col("text")))
+        .withColumn("n_bpe", bpe_ish_token_count(F.col("text")))
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "n_ws"] == len("the quick brown fox jumps over the lazy dog and runs far away today".split())
+    assert out.loc[6, "n_ws"] == 1
+    assert (out["n_bpe"] >= out["n_ws"]).all()
+
+    q = with_quality_features(docs, "text").toPandas().set_index("doc_id")
+    assert bool(q.loc[0, "quality_ok"])
+    assert not bool(q.loc[6, "quality_ok"])  # too short
+
+
+def test_lang_id(spark, docs):
+    out = with_lang_id(docs, "text").toPandas().set_index("doc_id")["lang_pred"]
+    assert out[0] == "en"
+    assert out[3] == "de"
+    assert out[4] == "fr"
+    assert out[5] == "es"
+
+
+def test_fingerprints(spark, docs):
+    fp = docs.withColumn("fp", content_fingerprint(F.col("text"))).toPandas().set_index("doc_id")["fp"]
+    assert fp[0] == fp[1]  # exact dups share fingerprint
+    assert fp[0] != fp[2]
+    rh = rolling_hash_fingerprints(docs, "doc_id", "text").toPandas()
+    assert {0, 1} <= set(rh["doc_id"])
+    # identical docs → identical fingerprint sets
+    s0 = set(rh[rh["doc_id"] == 0]["fp"])
+    s1 = set(rh[rh["doc_id"] == 1]["fp"])
+    assert s0 == s1 and len(s0) > 0

@@ -1,0 +1,72 @@
+"""Checkpoint/resume + lineage tests (SURVEY.md §5.2 item 6)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mtsad_spark.plans.pipeline import RollupPipeline
+
+
+def _as_pdf(df, sort_cols):
+    return df.toPandas().sort_values(sort_cols).reset_index(drop=True)
+
+
+def test_pipeline_run_resume_identical(spark, seq_df, tmp_path):
+    base = str(tmp_path / "pipe")
+    p1 = RollupPipeline(spark, base)
+    out1 = p1.run(seq_df)
+    r1 = _as_pdf(out1["rollup_1m"], ["source", "bucket_ts"])
+    s1 = _as_pdf(out1["scores_1m"], ["source", "bucket_ts"])
+
+    # all stages computed on first run
+    m1 = out1["metrics"].toPandas()
+    assert (m1["status"] == "computed").all()
+
+    # second run resumes: every stage skipped, outputs identical
+    p2 = RollupPipeline(spark, base)
+    out2 = p2.run(seq_df)
+    m2 = out2["metrics"].toPandas()
+    assert (m2["status"] == "skipped").all()
+    r2 = _as_pdf(out2["rollup_1m"], ["source", "bucket_ts"])
+    for c in r1.columns:
+        assert (r1[c].values == r2[c].values).all(), c
+
+
+def test_pipeline_partial_resume(spark, seq_df, tmp_path):
+    """Simulate a crash after the base tier: only later stages recompute,
+    and the final outputs equal a from-scratch run (idempotence)."""
+    import shutil
+
+    base = str(tmp_path / "pipe2")
+    p1 = RollupPipeline(spark, base)
+    out1 = p1.run(seq_df)
+    want = _as_pdf(out1["rollup_1d"], ["source", "bucket_ts"])
+
+    # wipe everything downstream of partials_1m (the "crash")
+    for stage in ("partials_1h", "partials_1d", "rollup_1m", "rollup_1h",
+                  "rollup_1d", "gapfill_1m", "packed_1m", "scores_1m"):
+        shutil.rmtree(f"{base}/{stage}", ignore_errors=True)
+
+    p2 = RollupPipeline(spark, base)
+    out2 = p2.run(seq_df)
+    m2 = out2["metrics"].toPandas().set_index("stage")["status"]
+    assert m2["partials_1m"] == "skipped"
+    assert m2["rollup_1d"] == "computed"
+    got = _as_pdf(out2["rollup_1d"], ["source", "bucket_ts"])
+    for c in want.columns:
+        assert (want[c].values == got[c].values).all(), c
+
+
+def test_lineage_row_counts_add_up(spark, seq_df, tmp_path):
+    base = str(tmp_path / "pipe3")
+    out = RollupPipeline(spark, base).run(seq_df)
+    lineage = out["lineage"].toPandas()
+    # per-source raw row counts must sum to the input row count (A16)
+    assert int(lineage["raw_rows"].sum()) == seq_df.count()
+    # and rollup point counts must match the 1m tier size
+    assert int(lineage["rollup_points"].sum()) == out["rollup_1m"].count()
+    sources = set(lineage["source"])
+    assert sources == {"web", "books", "code", "wiki", "forums"}
+    # skew is present in the fixture: web carries the majority
+    w = lineage.set_index("source")["raw_rows"]
+    assert w["web"] > 0.5 * lineage["raw_rows"].sum()
