@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (3-tier rollup cascade + LOCF
+gap-fill + sliding z-score / EWMA scoring over the events series) at sf0.001.
+``queries()`` / ``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 with DuckDB oracles where SQL-expressible — see
+mtsad_spark/driver_queries.py. Cross-checked locally with
+tools/check_oracles.py at sf0.001 and sf0.01.
 """
 
 from __future__ import annotations
@@ -12,27 +13,55 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: events → 1m/1h/1d rollup cascade (exact partial algebra) →
+    LOCF gap-fill → sliding z-score + EWMA residual scores on the 1h tier."""
+    from mtsad_spark.operators.gapfill import gap_fill
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+    from mtsad_spark.operators.scoring import ewma_residual, sliding_zscore
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p1m = rollup_partials(ev, "ts", "value", ["event_type"], "1m", exact_int=False)
+    p1h = reaggregate(p1m, ["event_type"], "1h")
+    hourly = p1h.select(
+        "event_type",
+        "bucket_ts",
+        F.col("cnt"),
+        (F.col("s1") / F.col("cnt")).alias("avg_v"),
+        F.col("vmin"),
+        F.col("vmax"),
+    )
+    filled = gap_fill(hourly, ["event_type"], "1h", ["avg_v"], method="locf")
+    z = sliding_zscore(filled, ["event_type"], "bucket_ts", "avg_v", w=24, k=3.0)
+    e = ewma_residual(
+        filled.select("event_type", "bucket_ts", "avg_v"),
+        ["event_type"],
+        "bucket_ts",
+        "avg_v",
+        alpha=0.2,
+    ).select("event_type", "bucket_ts", F.col("score").alias("ewma_score"))
+    return z.join(e, ["event_type", "bucket_ts"], "inner").select(
+        "event_type",
+        "bucket_ts",
+        "cnt",
+        "avg_v",
+        "gap_filled",
+        F.col("score").alias("z_score"),
+        F.col("label").alias("z_label"),
+        "ewma_score",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from mtsad_spark.driver_queries import queries as _qs
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _qs()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mtsad_spark.driver_queries import oracle_sql as _os
+
+    return _os()

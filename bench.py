@@ -1,0 +1,118 @@
+"""Headline benchmark — one JSON line per the driver contract.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Each query is forced end-to-end with the noop
+writer (full computation, no driver collect). The flagship sequence-rollup
+pipeline additionally reports sequences/sec (the BASELINE.json metric) over a
+deterministically synthesized tokenized table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from mtsad_spark.session import get_spark  # noqa: E402
+
+SEQ_ROWS = int(os.environ.get("BENCH_SEQ_ROWS", "8000000"))
+SEQ_MINUTES = 10_080  # 7 days of 1m buckets
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def seq_pipeline(spark, n_rows: int):
+    """North-star pipeline over the synthesized tokenized table: 3-tier exact
+    rollup cascade → LOCF gap-fill → z-score + EWMA scoring → Gorilla pack."""
+    from mtsad_spark.fixtures import sequences
+    from mtsad_spark.functions.gorilla import pack_rollup
+    from mtsad_spark.operators.gapfill import gap_fill
+    from mtsad_spark.operators.rollup import rollup_tiers
+    from mtsad_spark.operators.scoring import ewma_residual_chunked, sliding_zscore
+
+    seq = sequences(spark, n_rows=n_rows, n_minutes=SEQ_MINUTES, with_tokens=False)
+    finalized, partials = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
+    # the 1m partials feed every downstream output (1h/1d tiers, gap-fill,
+    # scoring, packing) — persist them exactly like the checkpointed pipeline
+    # does, so the raw scan+aggregate runs once
+    partials["1m"].persist()
+    m1 = finalized["1m"]
+    filled = gap_fill(m1, ["source"], "1m", ["mean"], method="locf")
+    z = sliding_zscore(filled, ["source"], "bucket_ts", "mean", w=30, k=3.0)
+    e = ewma_residual_chunked(
+        m1.select("source", "bucket_ts", "mean"), ["source"], "bucket_ts", "mean", alpha=0.2
+    )
+    packed = pack_rollup(m1, ["source"], "mean", chunk="day")
+    return [z, e, packed, finalized["1h"], finalized["1d"]]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark("mtsad-bench", master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm up JVM/codegen so per-query numbers measure the engine, not JIT
+    spark.range(1_000_000).agg(F.sum("id")).collect()
+
+    from mtsad_spark.driver_queries import queries as dq
+
+    qs = dq()
+    headline = [
+        "rollup_1m",
+        "rollup_1h_composed",
+        "rollup_1d_composed",
+        "gapfill_locf_1h",
+        "gapfill_linear_1h",
+        "gorilla_roundtrip_1h",
+        "zscore_roll24_1h",
+        "ewma_scores_1h",
+        "percentile_sweep",
+        "tpch_q1",
+        "top_orders_by_revenue",
+        "mktsegment_totals",
+        "dedup_exact_docs",
+        "docs_quality",
+        "minhash_near_dups_docs",
+        "simhash_docs",
+        "knn_cosine_top3",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        run_noop(qs[name](spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    # flagship sequences pipeline (BASELINE.json metric: sequences/sec)
+    t0 = time.time()
+    for df in seq_pipeline(spark, SEQ_ROWS):
+        run_noop(df)
+    seq_s = time.time() - t0
+    timings["seq_pipeline"] = round(seq_s, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "seq_rows": SEQ_ROWS,
+                "seq_throughput_rows_per_sec": round(SEQ_ROWS / seq_s, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,903 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator exposed as a
+(spark, sf_dir) -> DataFrame builder plus, where SQL-expressible, a DuckDB
+oracle producing the same columns (names, order-insensitive values).
+
+Cross-engine float discipline: every column whose value is PRODUCED by float
+arithmetic (avg, sum of doubles, z-scores, interpolation, cosine) is rounded
+to 6 decimals on BOTH sides — Spark and DuckDB order float additions
+differently, so unrounded aggregates differ in the last ulps. Columns that
+merely CARRY stored doubles (min/max/top-k values) stay exact. Ranking always
+keys on the rounded value + an id tiebreak so row_number is deterministic in
+both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_REG: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn: QueryFn):
+        _REG[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REG.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REG.items() if v[1] is not None}
+
+
+# =====================================================================
+# Rollups (A3) — events as the time series: key=event_type, ts, value
+# =====================================================================
+
+@_q(
+    "rollup_1m",
+    """
+    SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
+           count(*) AS cnt, round(sum(value), 6) AS sum_v,
+           round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1m(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("bucket_ts")
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 6).alias("sum_v"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+def _hourly_cte() -> str:
+    return (
+        "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts, "
+        "round(avg(value), 6) AS avg_v FROM events GROUP BY 1, 2)"
+    )
+
+
+def _hourly_df(spark, sf_dir) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
+
+
+@_q(
+    "rollup_1h_composed",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           count(*) AS cnt, round(sum(value), 6) AS sum_v,
+           round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h_composed(spark, sf_dir):
+    """1h tier COMPOSED from 1m partial states (partial/final split) — the
+    oracle aggregates the raw data directly; equality proves the
+    re-aggregation algebra (operators/rollup.py reaggregate)."""
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+
+    ev = _t(spark, sf_dir, "events")
+    p1m = rollup_partials(ev, "ts", "value", ["event_type"], "1m", exact_int=False)
+    p1h = reaggregate(p1m, ["event_type"], "1h")
+    return p1h.select(
+        "event_type",
+        "bucket_ts",
+        F.col("cnt"),
+        F.round(F.col("s1"), 6).alias("sum_v"),
+        F.round(F.col("s1") / F.col("cnt"), 6).alias("avg_v"),
+        F.col("vmin").alias("min_v"),
+        F.col("vmax").alias("max_v"),
+    )
+
+
+@_q(
+    "rollup_1d_composed",
+    """
+    SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+           count(*) AS cnt, round(sum(value), 6) AS sum_v,
+           round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_composed(spark, sf_dir):
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+
+    ev = _t(spark, sf_dir, "events")
+    p1m = rollup_partials(ev, "ts", "value", ["event_type"], "1m", exact_int=False)
+    p1d = reaggregate(reaggregate(p1m, ["event_type"], "1h"), ["event_type"], "1d")
+    return p1d.select(
+        "event_type",
+        "bucket_ts",
+        F.col("cnt"),
+        F.round(F.col("s1"), 6).alias("sum_v"),
+        F.round(F.col("s1") / F.col("cnt"), 6).alias("avg_v"),
+        F.col("vmin").alias("min_v"),
+        F.col("vmax").alias("max_v"),
+    )
+
+
+# =====================================================================
+# Gap-fill (W7/W8)
+# =====================================================================
+
+_SPINE_CTE = """
+    bounds AS (SELECT event_type, min(bucket_ts) AS t0, max(bucket_ts) AS t1
+               FROM hourly GROUP BY 1),
+    spine AS (SELECT event_type, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket_ts
+              FROM bounds),
+    j AS (SELECT s.event_type, s.bucket_ts, h.avg_v,
+                 (h.avg_v IS NULL) AS gap_filled
+          FROM spine s LEFT JOIN hourly h USING (event_type, bucket_ts))
+"""
+
+
+@_q(
+    "gapfill_locf_1h",
+    _hourly_cte()
+    + ","
+    + _SPINE_CTE
+    + """
+    SELECT event_type, bucket_ts,
+           last_value(avg_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_v,
+           gap_filled
+    FROM j
+    """,
+)
+def gapfill_locf_1h(spark, sf_dir):
+    from mtsad_spark.operators.gapfill import gap_fill
+
+    hourly = _hourly_df(spark, sf_dir)
+    return gap_fill(hourly, ["event_type"], "1h", ["avg_v"], method="locf").select(
+        "event_type", "bucket_ts", "avg_v", "gap_filled"
+    )
+
+
+@_q(
+    "gapfill_linear_1h",
+    _hourly_cte()
+    + ","
+    + _SPINE_CTE
+    + """
+    , w AS (
+      SELECT *,
+        last_value(avg_v IGNORE NULLS) OVER pw AS v_prev,
+        first_value(avg_v IGNORE NULLS) OVER fw AS v_next,
+        last_value(CASE WHEN NOT gap_filled THEN epoch(bucket_ts) END IGNORE NULLS) OVER pw AS t_prev,
+        first_value(CASE WHEN NOT gap_filled THEN epoch(bucket_ts) END IGNORE NULLS) OVER fw AS t_next
+      FROM j
+      WINDOW pw AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fw AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_ts,
+           round(CASE WHEN NOT gap_filled THEN avg_v
+                      WHEN v_prev IS NOT NULL AND v_next IS NOT NULL
+                      THEN v_prev + (v_next - v_prev)
+                           * ((epoch(bucket_ts) - t_prev) / (t_next - t_prev))
+                 END, 6) AS avg_v,
+           gap_filled
+    FROM w
+    """,
+)
+def gapfill_linear_1h(spark, sf_dir):
+    from mtsad_spark.operators.gapfill import gap_fill
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = gap_fill(hourly, ["event_type"], "1h", ["avg_v"], method="linear")
+    return out.select(
+        "event_type", "bucket_ts", F.round("avg_v", 6).alias("avg_v"), "gap_filled"
+    )
+
+
+# =====================================================================
+# Gorilla codec round-trip (north_star compression) — oracle is the PLAIN
+# hourly rollup: pack∘unpack must be the identity.
+# =====================================================================
+
+@_q(
+    "gorilla_roundtrip_1h",
+    _hourly_cte() + " SELECT event_type, bucket_ts, avg_v FROM hourly",
+)
+def gorilla_roundtrip_1h(spark, sf_dir):
+    from mtsad_spark.functions.gorilla import pack_rollup, unpack_rollup
+
+    hourly = _hourly_df(spark, sf_dir)
+    packed = pack_rollup(hourly, ["event_type"], "avg_v", chunk="day")
+    return unpack_rollup(packed, ["event_type"]).select(
+        "event_type", "bucket_ts", F.col("value").alias("avg_v")
+    )
+
+
+# =====================================================================
+# Window scoring (W9), moving average (W5), reframe (W1/W2)
+# =====================================================================
+
+@_q(
+    "zscore_roll24_1h",
+    _hourly_cte()
+    + """
+    SELECT event_type, bucket_ts,
+           round(CASE WHEN cnt_w >= 24 AND sd > 0 THEN abs(avg_v - mu) / sd END, 6) AS score
+    FROM (SELECT *, count(avg_v) OVER w AS cnt_w, avg(avg_v) OVER w AS mu,
+                 stddev_samp(avg_v) OVER w AS sd
+          FROM hourly
+          WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    """,
+)
+def zscore_roll24_1h(spark, sf_dir):
+    from mtsad_spark.operators.scoring import sliding_zscore
+
+    hourly = _hourly_df(spark, sf_dir)
+    z = sliding_zscore(hourly, ["event_type"], "bucket_ts", "avg_v", w=24)
+    return z.select("event_type", "bucket_ts", F.round("score", 6).alias("score"))
+
+
+@_q(
+    "moving_avg_same_w5_1h",
+    _hourly_cte()
+    + """
+    SELECT event_type, bucket_ts,
+           round(sum(avg_v) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) / 5.0, 6) AS ma
+    FROM hourly
+    """,
+)
+def moving_avg_same_w5_1h(spark, sf_dir):
+    from mtsad_spark.operators.stats import moving_average_same
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = moving_average_same(hourly, ["event_type"], "bucket_ts", "avg_v", w=5)
+    return out.select("event_type", "bucket_ts", F.round("ma", 6).alias("ma"))
+
+
+@_q(
+    "lag_reframe_1h",
+    _hourly_cte()
+    + """
+    SELECT * FROM (
+      SELECT event_type, bucket_ts,
+             lag(avg_v, 2) OVER w AS v_tm2,
+             lag(avg_v, 1) OVER w AS v_tm1,
+             avg_v AS v_t
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts))
+    WHERE v_tm2 IS NOT NULL AND v_tm1 IS NOT NULL
+    """,
+)
+def lag_reframe_1h(spark, sf_dir):
+    """W1 series_to_supervised semantics with engine-safe column names."""
+    from pyspark.sql import Window
+
+    hourly = _hourly_df(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    return (
+        hourly.withColumn("v_tm2", F.lag("avg_v", 2).over(w))
+        .withColumn("v_tm1", F.lag("avg_v", 1).over(w))
+        .withColumnRenamed("avg_v", "v_t")
+        .na.drop(subset=["v_tm2", "v_tm1"])
+        .select("event_type", "bucket_ts", "v_tm2", "v_tm1", "v_t")
+    )
+
+
+@_q(
+    "difference_1h",
+    _hourly_cte()
+    + """
+    SELECT * FROM (
+      SELECT event_type, bucket_ts,
+             round(avg_v - lag(avg_v, 1) OVER (PARTITION BY event_type ORDER BY bucket_ts), 6) AS d
+      FROM hourly)
+    WHERE d IS NOT NULL
+    """,
+)
+def difference_1h(spark, sf_dir):
+    from mtsad_spark.operators.supervised import difference
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = difference(hourly, ["event_type"], "bucket_ts", "avg_v", lag=1, out_col="d")
+    return (
+        out.withColumn("d", F.round("d", 6))
+        .na.drop(subset=["d"])
+        .select("event_type", "bucket_ts", "d")
+    )
+
+
+# =====================================================================
+# Percentiles / thresholds / metrics (A4-A8, P4-P6)
+# =====================================================================
+
+_QS = list(range(0, 101, 10))
+
+
+@_q(
+    "percentile_sweep",
+    " UNION ALL ".join(
+        f"SELECT event_type, {q} AS q, round(quantile_cont(value, {q / 100.0}), 6) AS threshold "
+        "FROM events GROUP BY event_type"
+        for q in _QS
+    ),
+)
+def percentile_sweep(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.array(*[F.lit(q / 100.0) for q in _QS])).alias("_t")
+        )
+        .select(
+            "event_type",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(q) for q in _QS]).alias("q"), F.col("_t").alias("threshold")
+                )
+            ).alias("_z"),
+        )
+        .select(
+            "event_type",
+            F.col("_z.q").alias("q"),
+            F.round(F.col("_z.threshold"), 6).alias("threshold"),
+        )
+    )
+
+
+@_q(
+    "prf_threshold",
+    """
+    WITH g AS (SELECT quantile_cont(value, 0.9) AS p90 FROM events),
+         t AS (SELECT event_type, quantile_cont(value, 0.75) AS p75 FROM events GROUP BY 1),
+         x AS (SELECT e.event_type,
+                      (e.value > g.p90) AS truth, (e.value > t.p75) AS pred
+               FROM events e, g JOIN t ON e.event_type = t.event_type),
+         a AS (SELECT event_type,
+                      sum(CASE WHEN pred AND truth THEN 1 ELSE 0 END) AS tp,
+                      sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS fp,
+                      sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS fn
+               FROM x GROUP BY 1)
+    SELECT event_type, tp, fp, fn,
+           round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0 END, 6) AS precision,
+           round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0 END, 6) AS recall,
+           round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
+                      THEN 2.0 * (tp / (tp + fp)) * (tp / (tp + fn))
+                           / ((tp / (tp + fp)) + (tp / (tp + fn)))
+                      ELSE 0 END, 6) AS f1
+    FROM a
+    """,
+)
+def prf_threshold(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    g = ev.agg(F.percentile("value", F.lit(0.9)).alias("p90"))
+    t = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.75)).alias("p75"))
+    x = (
+        ev.crossJoin(F.broadcast(g))
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            (F.col("value") > F.col("p90")).alias("truth"),
+            (F.col("value") > F.col("p75")).alias("pred"),
+        )
+    )
+    a = x.groupBy("event_type").agg(
+        F.sum(F.when(F.col("pred") & F.col("truth"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("truth"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("truth"), 1).otherwise(0)).alias("fn"),
+    )
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(
+        (F.col("tp") > 0),
+        2.0 * prec * rec / (prec + rec),
+    ).otherwise(0.0)
+    return a.select(
+        "event_type",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+@_q(
+    "median_mad",
+    """
+    WITH c AS (SELECT event_type, quantile_cont(value, 0.5) AS med, avg(value) AS mean_v
+               FROM events GROUP BY 1)
+    SELECT e.event_type,
+           round(any_value(c.med), 6) AS median,
+           round(avg(abs(e.value - c.mean_v)), 6) AS mean_abs_dev,
+           round(quantile_cont(abs(e.value - c.med), 0.5), 6) AS median_abs_dev
+    FROM events e JOIN c ON e.event_type = c.event_type
+    GROUP BY 1
+    """,
+)
+def median_mad(spark, sf_dir):
+    from mtsad_spark.operators.stats import median_mad as mm
+
+    ev = _t(spark, sf_dir, "events")
+    out = mm(ev, "value", keys=["event_type"])
+    return out.select(
+        "event_type",
+        F.round("median", 6).alias("median"),
+        F.round("mean_abs_dev", 6).alias("mean_abs_dev"),
+        F.round("median_abs_dev", 6).alias("median_abs_dev"),
+    )
+
+
+@_q(
+    "znorm_events",
+    """
+    SELECT event_id, event_type,
+           round((value - avg(value) OVER (PARTITION BY event_type))
+                 / stddev_pop(value) OVER (PARTITION BY event_type), 6) AS z
+    FROM events
+    """,
+)
+def znorm_events(spark, sf_dir):
+    from mtsad_spark.operators.stats import znorm
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = znorm(ev.withColumnRenamed("value", "z"), ["z"], keys=["event_type"])
+    return out.select("event_id", "event_type", F.round("z", 6).alias("z"))
+
+
+@_q(
+    "minmax_events",
+    """
+    SELECT event_id, event_type,
+           round((value - min(value) OVER (PARTITION BY event_type))
+                 / (max(value) OVER (PARTITION BY event_type)
+                    - min(value) OVER (PARTITION BY event_type)), 6) AS scaled
+    FROM events
+    """,
+)
+def minmax_events(spark, sf_dir):
+    from mtsad_spark.operators.stats import minmax_apply, minmax_fit
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    fitted = minmax_fit(ev, ["value"], keys=["event_type"])
+    out = minmax_apply(ev, fitted, ["value"], keys=["event_type"])
+    return out.select("event_id", "event_type", F.round("value", 6).alias("scaled"))
+
+
+@_q(
+    "sigma_band_filter",
+    """
+    SELECT event_id FROM (
+      SELECT event_id, value,
+             avg(value) OVER (PARTITION BY event_type) AS mu,
+             stddev_pop(value) OVER (PARTITION BY event_type) AS sd
+      FROM events)
+    WHERE abs(value - mu) > 2 * sd
+    """,
+)
+def sigma_band_filter(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    wk = Window.partitionBy("event_type")
+    return (
+        ev.withColumn("mu", F.avg("value").over(wk))
+        .withColumn("sd", F.stddev_pop("value").over(wk))
+        .filter(F.abs(F.col("value") - F.col("mu")) > 2 * F.col("sd"))
+        .select("event_id")
+    )
+
+
+@_q(
+    "threshold_filter_p95",
+    """
+    WITH t AS (SELECT event_type, quantile_cont(value, 0.95) AS p95 FROM events GROUP BY 1)
+    SELECT e.event_id, e.value
+    FROM events e JOIN t ON e.event_type = t.event_type
+    WHERE e.value > t.p95
+    """,
+)
+def threshold_filter_p95(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    t = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.95)).alias("p95"))
+    return (
+        ev.join(F.broadcast(t), "event_type")
+        .filter(F.col("value") > F.col("p95"))
+        .select("event_id", "value")
+    )
+
+
+@_q(
+    "topk_per_type",
+    """
+    SELECT event_type, rnk, event_id, value FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+      FROM events)
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_type(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "rnk", "event_id", "value")
+    )
+
+
+@_q(
+    "stratified_split_counts",
+    """
+    WITH r AS (SELECT event_type,
+                      row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+    SELECT event_type,
+           sum(CASE WHEN rn <= floor(n * 0.8) THEN 1 ELSE 0 END) AS n_train,
+           sum(CASE WHEN rn > floor(n * 0.8) THEN 1 ELSE 0 END) AS n_test
+    FROM r GROUP BY 1
+    """,
+)
+def stratified_split_counts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wk = Window.partitionBy("event_type")
+    r = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wk)
+    )
+    cut = F.floor(F.col("n") * 0.8)
+    return r.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") <= cut, 1).otherwise(0)).alias("n_train"),
+        F.sum(F.when(F.col("rn") > cut, 1).otherwise(0)).alias("n_test"),
+    )
+
+
+@_q(
+    "tag_encode",
+    """
+    SELECT event_id,
+           CASE WHEN event_type = 'purchase' THEN 1
+                WHEN event_type = 'error' THEN -1 ELSE 0 END AS tag_enc
+    FROM events
+    """,
+)
+def tag_encode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .when(F.col("event_type") == "error", -1)
+        .otherwise(0)
+        .alias("tag_enc"),
+    )
+
+
+@_q(
+    "stack_long_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS dim, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount' AS dim, l_discount AS value FROM lineitem
+    """,
+)
+def stack_long_lineitem(spark, sf_dir):
+    from mtsad_spark.operators.supervised import stack_long
+
+    li = _t(spark, sf_dir, "lineitem")
+    return stack_long(li, ["l_orderkey", "l_linenumber"], ["l_quantity", "l_discount"])
+
+
+@_q(
+    "union_filters",
+    """
+    SELECT event_type, count(*) AS cnt FROM (
+      SELECT event_type FROM events WHERE value > 250
+      UNION ALL
+      SELECT event_type FROM events WHERE value <= 250
+    ) GROUP BY 1
+    """,
+)
+def union_filters(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hi = ev.filter(F.col("value") > 250).select("event_type")
+    lo = ev.filter(F.col("value") <= 250).select("event_type")
+    return hi.unionByName(lo).groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+
+# =====================================================================
+# Relational classics (join/agg plans through Catalyst)
+# =====================================================================
+
+@_q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "top_orders_by_revenue",
+    """
+    SELECT o_orderkey, o_orderdate, revenue FROM (
+      SELECT o.o_orderkey, o.o_orderdate,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2)
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+@_q(
+    "mktsegment_totals",
+    """
+    SELECT c.c_mktsegment, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def mktsegment_totals(spark, sf_dir):
+    """Broadcast dim join: customer is the small side."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+# =====================================================================
+# Documents: dedup + text analysis
+# =====================================================================
+
+@_q(
+    "dedup_exact_docs",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_docs(spark, sf_dir):
+    from mtsad_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@_q(
+    "docs_quality",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           round(length(text)::DOUBLE / nullif(len(regexp_extract_all(text, '\S+')), 0), 6) AS mean_word_len,
+           round(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / greatest(length(text), 1), 6) AS alpha_ratio
+    FROM documents
+    """,
+)
+def docs_quality(spark, sf_dir):
+    from mtsad_spark.functions.text import with_quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_quality_features(docs, "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "mean_word_len",
+        "punct_ratio",
+        "alpha_ratio",
+    )
+
+
+@_q(
+    "docs_fingerprint",
+    """
+    SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+    FROM documents
+    """,
+)
+def docs_fingerprint(spark, sf_dir):
+    from mtsad_spark.functions.text import content_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+
+
+@_q(
+    "docs_token_stats_by_source",
+    r"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+           round(avg(len(regexp_extract_all(text, '\S+'))), 6) AS avg_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def docs_token_stats_by_source(spark, sf_dir):
+    from mtsad_spark.functions.text import whitespace_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n = whitespace_token_count(F.col("text"))
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n).alias("total_tokens"),
+        F.round(F.avg(n), 6).alias("avg_tokens"),
+    )
+
+
+# =====================================================================
+# Embeddings: similarity search
+# =====================================================================
+
+@_q(
+    "knn_cosine_top3",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce FROM embeddings),
+         s AS (SELECT query_id, neighbor_id,
+                      round(list_dot_product(qe, ce)
+                            / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS cosine
+               FROM q, c WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM s)
+    WHERE rank <= 3
+    """,
+)
+def knn_cosine_top3(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from mtsad_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv"))
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_qv"), F.col("_cv"))
+                / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        s.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# =====================================================================
+# Spark-only operators (no SQL oracle → driver rows-only check)
+# =====================================================================
+
+@_q("minhash_near_dups_docs", None)
+def minhash_near_dups_docs(spark, sf_dir):
+    from mtsad_spark.operators.dedup import minhash_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5)
+
+
+@_q("simhash_docs", None)
+def simhash_docs(spark, sf_dir):
+    from mtsad_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text")
+
+
+@_q("lang_id_docs", None)
+def lang_id_docs(spark, sf_dir):
+    from mtsad_spark.functions.text import with_lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+@_q("ann_lsh_embeddings", None)
+def ann_lsh_embeddings(spark, sf_dir):
+    from mtsad_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter("vec_id < 5")
+    return cosine_topk_lsh(emb, queries, dim=64, k=3, n_planes=6)
+
+
+@_q("ewma_scores_1h", None)
+def ewma_scores_1h(spark, sf_dir):
+    from mtsad_spark.operators.scoring import ewma_residual
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = ewma_residual(hourly, ["event_type"], "bucket_ts", "avg_v", alpha=0.2)
+    return out.select(
+        "event_type", "bucket_ts", F.round("ewma_level", 6).alias("ewma_level"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@_q("sequences_pipeline_rollup", None)
+def sequences_pipeline_rollup(spark, sf_dir):
+    """The north-star input shape end-to-end at test scale: synthesize the
+    tokenized sequences table, run the 3-tier rollup cascade, return the 1h
+    tier (deterministic — exercised for stability, oracled by pytest)."""
+    from mtsad_spark.fixtures import sequences
+    from mtsad_spark.operators.rollup import rollup_tiers
+
+    n = 20_000 if "0.01" in sf_dir else 5_000
+    seq = sequences(spark, n_rows=n, n_minutes=240, with_tokens=False)
+    finalized, _ = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
+    return finalized["1h"]
