@@ -901,3 +901,102 @@ def sequences_pipeline_rollup(spark, sf_dir):
     seq = sequences(spark, n_rows=n, n_minutes=240, with_tokens=False)
     finalized, _ = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
     return finalized["1h"]
+
+
+# =====================================================================
+# A11 MSE/RMSE + signal kernels + bitmap scorer
+# =====================================================================
+
+@_q(
+    "mse_rmse_ma_1h",
+    _hourly_cte()
+    + """
+    , m AS (SELECT event_type, bucket_ts, avg_v,
+                   sum(avg_v) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) / 5.0 AS ma
+            FROM hourly)
+    SELECT event_type,
+           round(avg((avg_v - ma) * (avg_v - ma)), 6) AS mse,
+           round(sqrt(avg((avg_v - ma) * (avg_v - ma))), 6) AS rmse
+    FROM m GROUP BY 1
+    """,
+)
+def mse_rmse_ma_1h(spark, sf_dir):
+    """A11: squared-error aggregates of the series vs its smoothed form."""
+    from mtsad_spark.operators.stats import moving_average_same
+
+    hourly = _hourly_df(spark, sf_dir)
+    m = moving_average_same(hourly, ["event_type"], "bucket_ts", "avg_v", w=5)
+    err = (F.col("avg_v") - F.col("ma")) * (F.col("avg_v") - F.col("ma"))
+    return m.groupBy("event_type").agg(
+        F.round(F.avg(err), 6).alias("mse"),
+        F.round(F.sqrt(F.avg(err)), 6).alias("rmse"),
+    )
+
+
+@_q("bitmap_scores_1h", None)
+def bitmap_scores_1h(spark, sf_dir):
+    from mtsad_spark.functions.tsbitmap import bitmap_scores
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = bitmap_scores(
+        hourly, ["event_type"], "bucket_ts", "avg_v",
+        feature_window_size=24, bins=5, level_size=3,
+        lag_window_size=96, lead_window_size=48, q=99,
+    )
+    return out.select("event_type", "bucket_ts", F.round("score", 6).alias("score"), "label")
+
+
+@_q("fft_residual_1h", None)
+def fft_residual_1h(spark, sf_dir):
+    from mtsad_spark.functions.signal import fft_bandstop_residual
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = fft_bandstop_residual(hourly, ["event_type"], "bucket_ts", "avg_v", low_cut=0.05)
+    return out.select("event_type", "bucket_ts", F.round("resid", 6).alias("resid"), "label")
+
+
+@_q("hp_residual_1h", None)
+def hp_residual_1h(spark, sf_dir):
+    from mtsad_spark.functions.signal import hp_residual_mad
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = hp_residual_mad(hourly, ["event_type"], "bucket_ts", "avg_v", lamb=1600.0, k=3.0)
+    return out.select(
+        "event_type", "bucket_ts", F.round("trend", 6).alias("trend"),
+        F.round("mod_z", 6).alias("mod_z"), "label",
+    )
+
+
+@_q("epsilon_f1_events", None)
+def epsilon_f1_events(spark, sf_dir):
+    """A12: argmax-F1 density threshold; density from the per-type gaussian
+    fit (A13), truth = bottom-decile values."""
+    from mtsad_spark.functions.signal import epsilon_by_f1
+    from mtsad_spark.operators.stats import gaussian_density, gaussian_params
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    params = gaussian_params(ev, ["value"], keys=["event_type"])
+    dens = gaussian_density(ev, params, ["value"], keys=["event_type"])
+    p10 = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.1)).alias("p10"))
+    lab = dens.join(F.broadcast(p10), "event_type").withColumn(
+        "tag", F.when(F.col("value") < F.col("p10"), 1).otherwise(-1)
+    )
+    out = epsilon_by_f1(lab, "density", "tag", n_steps=200, keys=["event_type"])
+    return out.select("event_type", F.round("epsilon", 10).alias("epsilon"), F.round("f1", 6).alias("f1"))
+
+
+@_q("rolling_hash_fingerprints_docs", None)
+def rolling_hash_fingerprints_docs(spark, sf_dir):
+    from mtsad_spark.functions.text import rolling_hash_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return rolling_hash_fingerprints(docs, "doc_id", "text", window=32, stride=16)
+
+
+@_q("simhash_dup_pairs_docs", None)
+def simhash_dup_pairs_docs(spark, sf_dir):
+    from mtsad_spark.operators.dedup import simhash, simhash_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8)

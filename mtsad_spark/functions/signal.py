@@ -1,0 +1,139 @@
+"""Signal kernels (SURVEY.md §2.7): FFT band-stop residual and HP-filter
+detrending, as grouped pandas/Arrow kernels (no native Spark equivalent;
+reference: /root/reference/statistication/fft.py and hp.py).
+
+These run per (key) group — fixture-scale series. For long series, slice the
+key with halos like operators/scoring.py (FFT is global-window by nature, so
+the true scale path is per-chunk spectra; out of the north-rule critical
+path per SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+
+def fft_bandstop_residual(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    low_cut: float = 0.04,
+    k: float = 2.0,
+) -> DataFrame:
+    """Reference fft.py:37-49 semantics: zero out low-frequency components
+    (|freq| < low_cut of the spectrum), inverse-transform → high-frequency
+    residual; sigma-rule label on the residual (fft.py:79-86)."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("resid", DoubleType()), StructField("label", IntegerType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        v = pdf[val_col].values.astype(np.float64)
+        spec = np.fft.fft(v)
+        freq = np.fft.fftfreq(len(v))
+        spec[np.abs(freq) < low_cut] = 0
+        resid = np.real(np.fft.ifft(spec))
+        sigma = resid.std()
+        label = np.where(np.abs(resid) > k * sigma, 1, -1).astype(np.int32)
+        return pdf.assign(resid=resid, label=label)[cols + ["resid", "label"]]
+
+    return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
+
+
+def _hp_filter(y: np.ndarray, lamb: float) -> np.ndarray:
+    """Hodrick-Prescott trend: minimize ||y−t||² + λ||D²t||² ⇒
+    t = (I + λ DᵀD)⁻¹ y, with D the 2nd-difference operator (hp.py:18-24).
+    scipy-free: dense banded solve via numpy (series are kernel-group sized).
+    """
+    n = len(y)
+    if n < 3:
+        return y.copy()
+    D = np.zeros((n - 2, n))
+    for i in range(n - 2):
+        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
+    A = np.eye(n) + lamb * (D.T @ D)
+    return np.linalg.solve(A, y)
+
+
+def hp_residual_mad(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    lamb: float = 1600.0,
+    k: float = 3.0,
+) -> DataFrame:
+    """Reference hp.py:44-63: HP-detrend, then modified-z on the residual
+    (0.6745·|d−median| / median-abs-dev) with threshold k."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("trend", DoubleType()),
+            StructField("resid", DoubleType()),
+            StructField("mod_z", DoubleType()),
+            StructField("label", IntegerType()),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        y = pdf[val_col].values.astype(np.float64)
+        trend = _hp_filter(y, lamb)
+        resid = y - trend
+        med = np.median(resid)
+        mad = np.median(np.abs(resid - med))
+        mod_z = 0.6745 * np.abs(resid - med) / mad if mad > 0 else np.zeros_like(resid)
+        label = np.where(mod_z > k, 1, -1).astype(np.int32)
+        return pdf.assign(trend=trend, resid=resid, mod_z=mod_z, label=label)[
+            cols + ["trend", "resid", "mod_z", "label"]
+        ]
+
+    return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
+
+
+def epsilon_by_f1(
+    df: DataFrame,
+    density_col: str,
+    truth_col: str,
+    n_steps: int = 1000,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """A12 (gaussian.py:113-125): sweep n_steps thresholds between min and max
+    density, keep the argmax-F1 epsilon — explode(sequence) × conditional
+    aggs × max_by, one Spark plan, no driver loop."""
+    keys = keys or []
+    bounds = df.groupBy(*keys).agg(
+        F.min(density_col).alias("_lo"), F.max(density_col).alias("_hi")
+    )
+    steps = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.lit(1), F.lit(n_steps))).alias("_i"),
+        ((F.col("_hi") - F.col("_lo")) / n_steps).alias("_step"),
+        F.col("_lo"),
+    ).select(
+        *keys, (F.col("_lo") + F.col("_i") * F.col("_step")).alias("epsilon")
+    )
+    joined = df.join(F.broadcast(steps), keys, "inner") if keys else df.crossJoin(F.broadcast(steps))
+    pred = F.col(density_col) < F.col("epsilon")  # low density ⇒ anomaly
+    truth = F.col(truth_col) == 1
+    agg = joined.groupBy(*keys, "epsilon").agg(
+        F.sum((pred & truth).cast("long")).alias("tp"),
+        F.sum((pred & ~truth).cast("long")).alias("fp"),
+        F.sum((~pred & truth).cast("long")).alias("fn"),
+    )
+    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
+    scored = agg.withColumn("f1", f1)
+    return scored.groupBy(*keys).agg(
+        F.max_by("epsilon", F.col("f1")).alias("epsilon"), F.max("f1").alias("f1")
+    )

@@ -1,0 +1,208 @@
+"""Time-series bitmap anomaly scoring (SURVEY.md W11/A14/J4/A15).
+
+Re-expresses the reference's SAX-bitmap detector
+(/root/reference/tsbitmaps/tsbitmapper.py, after the public "Time-series
+Bitmaps" / "Assumption-Free Anomaly Detection" papers) Spark-first:
+
+* per-series scoring — ``bitmap_scores``: an ``applyInPandas`` kernel with a
+  DENSE count-vector formulation: symbols come from per-feature-window
+  equal-width binning (np.digitize semantics, tsbitmapper.py:56-96), level-L
+  n-grams are integer-encoded into a code space of (bins+2)^L, so each
+  chunk's bitmap is one ``np.bincount`` and the lag/lead distance one
+  vectorized subtraction — no Python dicts in the loop.
+  NOTE a deliberate deviation: the reference normalizes a chunk's bitmap once
+  and then applies raw ±1 ingress/egress updates to the normalized values
+  (tsbitmapper.py:214-247), so its scores drift from the paper's definition
+  after the first step. We implement the PAPER's semantics — every chunk's
+  bitmap is max-normalized — and test bounded outcomes the same way the
+  reference's own suite does (tsbitmaps/test/test_tsbitmaps.py:38-54).
+* corpus-scale bitmap algebra — ``ngram_bitmap`` (A14: lag-concat n-gram →
+  groupBy count → max-normalize) and ``bitmap_distance_join`` (J4/A15: FULL
+  OUTER join on the n-gram key, ``coalesce(freq, 0)``, Σ(Δfreq)²) for series
+  too large for one kernel group.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+
+# ----------------------------------------------------------------- kernel
+
+
+def _sax_symbols(vals: np.ndarray, fw: int, n_bins: int) -> np.ndarray:
+    """Per-feature-window equal-width binning, np.digitize semantics
+    (tsbitmapper.py:56-96): window min/max edges, global min/max fallback for
+    constant windows."""
+    n = len(vals)
+    gmin, gmax = vals.min(), vals.max()
+    out = np.empty(n, dtype=np.int64)
+    for s in range(0, n, fw):
+        w = vals[s : s + fw]
+        lo, hi = w.min(), w.max()
+        if lo == hi:
+            lo, hi = gmin, gmax
+        if lo == hi:
+            out[s : s + fw] = 0
+            continue
+        step = (hi - lo) / n_bins
+        edges = np.arange(lo, hi, step)
+        out[s : s + fw] = np.digitize(w, edges) - 1
+    return out
+
+
+def _ngram_codes(sym: np.ndarray, level: int, base: int) -> np.ndarray:
+    """Integer code of the level-gram starting at each position (length
+    n-level+1); symbols are offset by +1 so code 0 never collides."""
+    n = len(sym)
+    m = n - level + 1
+    codes = np.zeros(m, dtype=np.int64)
+    for l in range(level):
+        codes = codes * base + (sym[l : l + m] + 1)
+    return codes
+
+
+def _chunk_bitmap(
+    codes: np.ndarray, start: int, size: int, fw: int, level: int, space: int
+) -> np.ndarray:
+    """Max-normalized dense bitmap of chunk [start, start+size): n-grams
+    counted within the chunk's OWN feature-window segmentation (full windows
+    then the tail), per tsbitmapper.py:130-157."""
+    counts = np.zeros(space, dtype=np.int64)
+    full_end = start + size - size % fw
+    for ws in range(start, full_end, fw):
+        sel = codes[ws : ws + fw - level + 1]
+        counts += np.bincount(sel, minlength=space)
+    if size % fw > 0:
+        tail = codes[full_end : start + size - level + 1]
+        if len(tail):
+            counts += np.bincount(tail, minlength=space)
+    m = counts.max()
+    return counts / m if m > 0 else counts.astype(np.float64)
+
+
+def bitmap_scores_series(
+    vals: np.ndarray,
+    feature_window_size: int,
+    bins: int = 5,
+    level_size: int = 3,
+    lag_window_size: int = 200,
+    lead_window_size: int = 100,
+    q: float = 99.7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(scores, ±1 labels) for one series — the fit_predict contract
+    (tsbitmapper.py:287-310): score[i] = ||bitmap(lag) − bitmap(lead)||²,
+    threshold = q-percentile of the interior scores."""
+    n = len(vals)
+    sym = _sax_symbols(np.asarray(vals, dtype=np.float64), feature_window_size, bins)
+    base = bins + 2
+    space = base**level_size
+    codes = _ngram_codes(sym, level_size, base)
+    scores = np.zeros(n)
+    for i in range(lag_window_size, n - lead_window_size + 1):
+        bl = _chunk_bitmap(codes, i - lag_window_size, lag_window_size, feature_window_size, level_size, space)
+        bf = _chunk_bitmap(codes, i, lead_window_size, feature_window_size, level_size, space)
+        d = bl - bf
+        scores[i] = float(d @ d)
+    interior = scores[lag_window_size : n - lead_window_size + 1]
+    thres = np.percentile(interior, q) if len(interior) else np.inf
+    labels = np.where(scores > thres, 1, -1).astype(np.int32)
+    return scores, labels
+
+
+def bitmap_scores(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    feature_window_size: int = 50,
+    bins: int = 5,
+    level_size: int = 3,
+    lag_window_size: int = 200,
+    lead_window_size: int = 100,
+    q: float = 99.7,
+) -> DataFrame:
+    """applyInPandas wrapper: one kernel group per series key."""
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("score", DoubleType()), StructField("label", IntegerType())]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        s, l = bitmap_scores_series(
+            pdf[val_col].values,
+            feature_window_size,
+            bins,
+            level_size,
+            lag_window_size,
+            lead_window_size,
+            q,
+        )
+        return pdf.assign(score=s, label=l)[cols + ["score", "label"]]
+
+    return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
+
+
+# -------------------------------------------------- distributed bitmap algebra
+
+
+def sax_symbols_df(
+    df: DataFrame, keys: list[str], order_col: str, val_col: str,
+    feature_window_size: int, bins: int,
+) -> DataFrame:
+    """Distributed approximate SAX: per-(key, feature-window) equal-width
+    binning with floor() arithmetic (boundary values can differ from
+    np.digitize by one ulp-edge — exact parity lives in the kernel path)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    pos = F.row_number().over(w) - 1
+    df = df.withColumn("_fw", F.floor(pos / feature_window_size))
+    wf = Window.partitionBy(*keys, "_fw")
+    wg = Window.partitionBy(*keys)
+    lo = F.min(val_col).over(wf)
+    hi = F.max(val_col).over(wf)
+    glo, ghi = F.min(val_col).over(wg), F.max(val_col).over(wg)
+    lo2 = F.when(lo == hi, glo).otherwise(lo)
+    hi2 = F.when(lo == hi, ghi).otherwise(hi)
+    step = (hi2 - lo2) / bins
+    sym = F.when(step == 0, 0).otherwise(
+        F.least(F.floor((F.col(val_col) - lo2) / step), F.lit(bins - 1))
+    )
+    return df.withColumn("symbol", sym.cast("int")).drop("_fw")
+
+
+def ngram_bitmap(
+    symbols: DataFrame, keys: list[str], order_col: str, level: int = 3
+) -> DataFrame:
+    """A14: level-gram frequency bitmap, max-normalized, fully distributed —
+    lag-concat n-gram key → hash groupBy count → per-key max window."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    parts = [F.col("symbol").cast("string")]
+    for l in range(1, level):
+        parts.append(F.lead("symbol", l).over(w).cast("string"))
+    g = (
+        symbols.withColumn("ngram", F.concat_ws(",", *parts))
+        .withColumn("_last", F.lead("symbol", level - 1).over(w))
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+    counts = g.groupBy(*keys, "ngram").agg(F.count("*").alias("freq"))
+    wmax = Window.partitionBy(*keys)
+    return counts.withColumn("freq", F.col("freq") / F.max("freq").over(wmax))
+
+
+def bitmap_distance_join(
+    bm_a: DataFrame, bm_b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J4/A15: squared distance between two bitmaps — FULL OUTER join on the
+    n-gram key, missing key ⇒ 0 (tsbitmapper.py:251-269)."""
+    a = bm_a.select(*keys, "ngram", F.col("freq").alias("fa"))
+    b = bm_b.select(*keys, "ngram", F.col("freq").alias("fb"))
+    j = a.join(b, [*keys, "ngram"], "full_outer")
+    d = F.coalesce(F.col("fa"), F.lit(0.0)) - F.coalesce(F.col("fb"), F.lit(0.0))
+    return j.groupBy(*keys).agg(F.sum(d * d).alias("distance"))

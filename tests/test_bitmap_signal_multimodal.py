@@ -1,0 +1,196 @@
+"""ts-bitmap scorer (bounded-outcome style of the reference's own suite,
+/root/reference/tsbitmaps/test/test_tsbitmaps.py), signal kernels, and
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mtsad_spark.fixtures import mts2_wave
+from mtsad_spark.functions.signal import epsilon_by_f1, fft_bandstop_residual, hp_residual_mad
+from mtsad_spark.functions.tsbitmap import (
+    _chunk_bitmap,
+    _ngram_codes,
+    _sax_symbols,
+    bitmap_distance_join,
+    bitmap_scores,
+    bitmap_scores_series,
+    ngram_bitmap,
+    sax_symbols_df,
+)
+
+
+# ------------------------------------------------------ kernel unit checks
+
+
+def test_sax_symbols_alphabet_and_length():
+    """Mirror of reference test: discretize preserves length and emits the
+    full alphabet on random input (test_tsbitmaps.py:19-23)."""
+    rng = np.random.RandomState(0)
+    x = rng.rand(500)
+    sym = _sax_symbols(x, fw=100, n_bins=5)
+    assert len(sym) == 500
+    assert set(sym.tolist()) == {0, 1, 2, 3, 4}
+
+
+def test_ngram_counts_hand_written():
+    """Hand-written symbol sequence: n-gram counts + max-normalization
+    (mirror of test_tsbitmaps.py:25-31)."""
+    sym = np.array([0, 0, 1, 0, 0, 1])
+    base = 5 + 2
+    codes = _ngram_codes(sym, level=2, base=base)
+    # bigrams: 00 01 10 00 01 → counts {00:2, 01:2, 10:1} → normalized by 2
+    bm = _chunk_bitmap(codes, 0, 6, fw=6, level=2, space=base**2)
+    c00 = bm[(0 + 1) * base + (0 + 1)]
+    c01 = bm[(0 + 1) * base + (1 + 1)]
+    c10 = bm[(1 + 1) * base + (0 + 1)]
+    assert c00 == 1.0 and c01 == 1.0 and c10 == 0.5
+    assert bm.sum() == pytest.approx(2.5)
+
+
+def test_feat_window_excludes_cross_window_ngrams():
+    """Mirror of test_tsbitmaps.py:32-36: no n-gram spans a feature-window
+    boundary."""
+    sym = np.array([0, 0, 0, 1, 1, 1])
+    base = 7
+    codes = _ngram_codes(sym, level=3, base=base)
+    bm = _chunk_bitmap(codes, 0, 6, fw=3, level=3, space=base**3)
+    # windows [000] and [111] → only those two trigrams, never 001/011
+    nz = np.nonzero(bm)[0]
+    enc = lambda a, b, c: ((a + 1) * base + (b + 1)) * base + (c + 1)  # noqa: E731
+    assert set(nz.tolist()) == {enc(0, 0, 0), enc(1, 1, 1)}
+
+
+def test_bitmap_scores_bounded_outcome_random():
+    """fit_predict on random data: anomaly count bounded (mirror of
+    test_tsbitmaps.py:38-42 asserting 0 < n ≤ 25 on 500 random points)."""
+    rng = np.random.RandomState(7)
+    x = rng.rand(500)
+    scores, labels = bitmap_scores_series(
+        x, feature_window_size=50, bins=5, level_size=3,
+        lag_window_size=100, lead_window_size=50, q=99,
+    )
+    n_anom = int((labels == 1).sum())
+    assert 0 < n_anom <= 25
+    assert (scores[:100] == 0).all()  # cold-start prefix is zero
+
+
+def test_bitmap_scores_detects_wave_anomalies(spark):
+    pdf = mts2_wave(size=2000)
+    df = spark.createDataFrame(pdf).withColumn("series", F.lit("s"))
+    out = (
+        bitmap_scores(
+            df, ["series"], "t", "v0",
+            feature_window_size=20, bins=5, level_size=3,
+            lag_window_size=100, lead_window_size=40, q=98,
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    truth = pdf.sort_values("t")["tag"].values
+    pred = out["label"].values
+    tp = int(((pred == 1) & (truth == 1)).sum())
+    assert tp > 0  # fires inside injected windows
+    # matches the kernel run directly (Spark wrapper adds nothing)
+    s2, l2 = bitmap_scores_series(
+        pdf.sort_values("t")["v0"].values, 20, 5, 3, 100, 40, 98
+    )
+    assert np.allclose(out["score"].values, s2)
+    assert (pred == l2).all()
+
+
+def test_distributed_bitmap_algebra(spark):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 300 + ["b"] * 300,
+            "idx": list(range(300)) * 2,
+            "v": np.r_[rng.rand(300), rng.rand(300) * 2 + 1],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sym = sax_symbols_df(df, ["k"], "idx", "v", feature_window_size=50, bins=5)
+    got = sym.filter("k='a'").orderBy("idx").toPandas()["symbol"].values
+    assert set(got.tolist()) <= {0, 1, 2, 3, 4}
+    bm = ngram_bitmap(sym, ["k"], "idx", level=3)
+    mx = bm.groupBy("k").agg(F.max("freq").alias("m")).toPandas()
+    assert np.allclose(mx["m"].values, 1.0)  # max-normalized
+    bma = bm.filter("k='a'").drop("k").withColumn("g", F.lit(1))
+    bmb = bm.filter("k='b'").drop("k").withColumn("g", F.lit(1))
+    d = bitmap_distance_join(bma, bmb, ["g"]).collect()[0]["distance"]
+    assert d > 0
+    dd = bitmap_distance_join(bma, bma, ["g"]).collect()[0]["distance"]
+    assert dd == 0.0
+
+
+# ----------------------------------------------------------- signal kernels
+
+
+def test_fft_bandstop_vs_numpy(spark):
+    pdf = mts2_wave(size=1024)
+    df = spark.createDataFrame(pdf).withColumn("series", F.lit("s"))
+    out = fft_bandstop_residual(df, ["series"], "t", "v0", low_cut=0.04).orderBy("t").toPandas()
+    v = pdf.sort_values("t")["v0"].values
+    spec = np.fft.fft(v)
+    freq = np.fft.fftfreq(len(v))
+    spec[np.abs(freq) < 0.04] = 0
+    want = np.real(np.fft.ifft(spec))
+    assert np.allclose(out["resid"].values, want, atol=1e-9)
+
+
+def test_hp_residual_detects_anomalies(spark):
+    pdf = mts2_wave(size=600)
+    df = spark.createDataFrame(pdf).withColumn("series", F.lit("s"))
+    out = hp_residual_mad(df, ["series"], "t", "v0", lamb=1600, k=3.0).orderBy("t").toPandas()
+    truth = pdf.sort_values("t")["tag"].values
+    pred = out["label"].values
+    # trend + residual reconstruct the signal
+    assert np.allclose(out["trend"].values + out["resid"].values,
+                       pdf.sort_values("t")["v0"].values, atol=1e-8)
+    assert ((pred == 1) & (truth == 1)).sum() > 0
+
+
+def test_epsilon_by_f1(spark):
+    rng = np.random.RandomState(4)
+    dens = np.r_[rng.rand(900) * 0.9 + 0.1, rng.rand(100) * 0.05]
+    truth = np.r_[np.full(900, -1), np.full(100, 1)]
+    df = spark.createDataFrame(pd.DataFrame({"density": dens, "tag": truth}))
+    row = epsilon_by_f1(df, "density", "tag", n_steps=200).collect()[0]
+    assert row["f1"] > 0.9
+    assert 0.05 <= row["epsilon"] <= 0.15
+
+
+# ------------------------------------------------------- multimodal plumbing
+
+
+def test_multimodal_decode_resize_frames(spark):
+    from mtsad_spark.functions.multimodal import (
+        decode_features,
+        resize_images,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=60).cache()
+    feats = decode_features(media, n_features=8).toPandas()
+    assert len(feats) == 60
+    assert all(len(f) == 8 for f in feats["features"])
+    # deterministic: same payload → same features
+    f2 = decode_features(media, n_features=8).toPandas().sort_values("media_id")
+    f1 = feats.sort_values("media_id")
+    for a, b in zip(f1["features"], f2["features"]):
+        assert np.allclose(a, b)
+    # unit-norm feature vectors
+    assert np.allclose([np.linalg.norm(f) for f in f1["features"]], 1.0)
+
+    resized = resize_images(media, max_side=64).toPandas()
+    assert (resized["width"] <= 64).all() and (resized["height"] <= 64).all()
+    assert len(resized) == media.filter("kind='image'").count()
+
+    frames = sample_frames(media, every_ms=1000).toPandas()
+    n_videos = media.filter("kind='video'").count()
+    assert frames["media_id"].nunique() == n_videos
+    assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
