@@ -1,0 +1,102 @@
+"""Plan-quality guardrails: the physical plans the engine relies on at 100 TB
+must not silently regress — predicate pushdown to the parquet scan, column
+pruning, map-side partial aggregation, broadcast joins for small dims, and
+no Python eval nodes in JVM-path operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_filter_and_projection_pushed_to_scan(events):
+    q = events.filter(F.col("value") > 400).select("event_id", "value")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,400.0)]" in p
+    assert "struct<event_id:bigint,value:double>" in p  # pruned ReadSchema
+
+
+def test_rollup_scan_prunes_columns_and_partially_aggregates(events):
+    from mtsad_spark.operators.rollup import rollup_partials
+
+    q = rollup_partials(events, "ts", "value", ["event_type"], "1m", exact_int=False)
+    p = plan_of(q)
+    assert "partial_sum" in p and "partial_count" in p  # map-side combine
+    assert "struct<ts:timestamp" in p and "props" not in p  # 3-col scan only
+    assert p.count(") Exchange") == 1  # single shuffle for the base tier
+
+
+def test_tier_reaggregation_adds_one_exchange_not_a_rescan(events):
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+
+    q = reaggregate(
+        rollup_partials(events, "ts", "value", ["event_type"], "1m", exact_int=False),
+        ["event_type"],
+        "1h",
+    )
+    p = plan_of(q)
+    assert p.count(") Scan parquet") == 1  # cascade = one scan, not per-tier
+    assert p.count(") Exchange") == 2
+
+
+def test_small_dim_join_broadcasts(spark):
+    from mtsad_spark.driver_queries import mktsegment_totals
+
+    q = mktsegment_totals(spark, "/root/testdata/sf0.001")
+    p = plan_of(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_jvm_path_operators_have_no_python_nodes(spark, events):
+    from mtsad_spark.operators.scoring import sliding_zscore
+    from mtsad_spark.operators.stats import moving_average_same, znorm
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("v"))
+    for q in (
+        sliding_zscore(hourly, ["event_type"], "bucket_ts", "v", w=24),
+        moving_average_same(hourly, ["event_type"], "bucket_ts", "v", w=5),
+        znorm(hourly.select("event_type", "v"), ["v"], keys=["event_type"]),
+    ):
+        p = plan_of(q)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "FlatMapGroupsInPandas" not in p
+
+
+def test_pandas_kernels_are_arrow_grouped_map(spark, events):
+    from mtsad_spark.operators.scoring import ewma_residual
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("v"))
+    p = plan_of(ewma_residual(hourly, ["event_type"], "bucket_ts", "v"))
+    # grouped-map Arrow transport — NOT row-at-a-time BatchEvalPython
+    assert "FlatMapGroupsInPandas" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_whole_stage_codegen_covers_rollup(events):
+    from mtsad_spark.operators.rollup import finalize, rollup_partials
+
+    q = finalize(
+        rollup_partials(events, "ts", "value", ["event_type"], "1m", exact_int=False),
+        ["event_type"],
+        "1m",
+    )
+    # AQE finalizes the plan only on execution — run it, then inspect; the
+    # star prefix *(n) marks WholeStageCodegen spans in the simple plan string
+    q.write.format("noop").mode("overwrite").save()
+    final = q._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in final
