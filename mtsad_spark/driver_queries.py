@@ -1000,3 +1000,71 @@ def simhash_dup_pairs_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return simhash_dup_pairs(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8)
+
+
+# =====================================================================
+# Ensembles + dimension reduction
+# =====================================================================
+
+@_q(
+    "ensemble_vote_1h",
+    _hourly_cte()
+    + """
+    , s AS (
+      SELECT event_type, bucket_ts, avg_v,
+             count(avg_v) OVER w AS cnt_w, avg(avg_v) OVER w AS mu,
+             stddev_samp(avg_v) OVER w AS sd,
+             avg(avg_v) OVER t AS gmu, stddev_pop(avg_v) OVER t AS gsd,
+             quantile_cont(avg_v, 0.9) OVER t AS p90
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+             t AS (PARTITION BY event_type)),
+    l AS (
+      SELECT event_type, bucket_ts,
+             CASE WHEN cnt_w >= 24 AND sd > 0 AND abs(avg_v - mu) / sd > 2.0
+                  THEN 1 ELSE -1 END AS l1,
+             CASE WHEN abs(avg_v - gmu) > 2.0 * gsd THEN 1 ELSE -1 END AS l2,
+             CASE WHEN avg_v > p90 THEN 1 ELSE -1 END AS l3
+      FROM s)
+    SELECT event_type, bucket_ts, l1, l2, l3,
+           CASE WHEN (CASE WHEN l1 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN l2 = 1 THEN 1 ELSE 0 END
+                    + CASE WHEN l3 = 1 THEN 1 ELSE 0 END) * 2 > 3
+                THEN 1 ELSE -1 END AS vote
+    FROM l
+    """,
+)
+def ensemble_vote_1h(spark, sf_dir):
+    """Majority vote over three SQL-expressible scorers: rolling z-score,
+    stationary sigma band, p90 threshold (ensemblation family)."""
+    from pyspark.sql import Window
+
+    from mtsad_spark.operators.ensemble import majority_vote
+    from mtsad_spark.operators.scoring import sliding_zscore
+
+    hourly = _hourly_df(spark, sf_dir)
+    z = sliding_zscore(hourly, ["event_type"], "bucket_ts", "avg_v", w=24, k=2.0)
+    wt = Window.partitionBy("event_type")
+    out = (
+        z.withColumnRenamed("label", "l1")
+        .withColumn("gmu", F.avg("avg_v").over(wt))
+        .withColumn("gsd", F.stddev_pop("avg_v").over(wt))
+        .withColumn("p90", F.percentile("avg_v", F.lit(0.9)).over(wt))
+        .withColumn("l2", F.when(F.abs(F.col("avg_v") - F.col("gmu")) > 2.0 * F.col("gsd"), 1).otherwise(-1))
+        .withColumn("l3", F.when(F.col("avg_v") > F.col("p90"), 1).otherwise(-1))
+    )
+    out = majority_vote(out, ["l1", "l2", "l3"], out_col="vote")
+    return out.select("event_type", "bucket_ts", "l1", "l2", "l3", "vote")
+
+
+@_q("pca_uts_embeddings", None)
+def pca_uts_embeddings(spark, sf_dir):
+    """MTS→UTS reduction over the embedding table's first 4 dims."""
+    from mtsad_spark.operators.reduce_dims import pca_to_uts
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.col("embedding").getItem(i).cast("double").alias(f"v{i}") for i in range(4)]
+    )
+    out = pca_to_uts(emb, [f"v{i}" for i in range(4)])
+    return out.select("vec_id", F.round("uts", 6).alias("uts"))

@@ -112,6 +112,50 @@ def finalize(partials: DataFrame, keys: list[str], tier: str) -> DataFrame:
     )
 
 
+def salted_rollup_partials(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    salt_col: str,
+    tier: str = "1m",
+    n_salt: int = 16,
+    exact_int: bool = True,
+) -> DataFrame:
+    """Explicit two-stage salted aggregation (north rule skew clause).
+
+    Stage 1 groups by (keys, bucket, salt = hash(salt_col) % n_salt) — a hot
+    (key, bucket) cell is split across n_salt reducers; stage 2 merges the
+    salt partials. For Spark's OWN algebraic aggregates this is usually
+    redundant (HashAggregate partial-combines map-side), so the plain
+    :func:`rollup_partials` is the default; this form exists for extreme
+    per-cell skew where a single final-agg reducer would still see one
+    monster cell's partials from thousands of map tasks, and as the pattern
+    the applyInPandas kernels use (scoring._slice_with_halo). Exactness is
+    preserved: LONG sums are associative, so salting cannot change results
+    (asserted in tests).
+    """
+    v = F.col(val_col).cast("long" if exact_int else "double")
+    stage1 = df.groupBy(
+        *keys,
+        bucket_expr(ts_col, tier).alias("bucket_ts"),
+        F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt)).alias("_salt"),
+    ).agg(
+        F.count(val_col).alias("cnt"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.min(v).alias("vmin"),
+        F.max(v).alias("vmax"),
+    )
+    return stage1.groupBy(*keys, "bucket_ts").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+
+
 def rollup_tiers(
     df: DataFrame,
     ts_col: str,
