@@ -1068,3 +1068,39 @@ def pca_uts_embeddings(spark, sf_dir):
     )
     out = pca_to_uts(emb, [f"v{i}" for i in range(4)])
     return out.select("vec_id", F.round("uts", 6).alias("uts"))
+
+
+@_q(
+    "mae_residual_multidim",
+    """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                      round(avg(value), 6) AS v0,
+                      round(min(value), 6) AS v1,
+                      round(max(value), 6) AS v2
+               FROM events GROUP BY 1, 2),
+         m AS (SELECT event_type,
+                      avg(v0) AS m0, avg(v1) AS m1, avg(v2) AS m2
+               FROM h GROUP BY 1)
+    SELECT h.event_type, h.bucket_ts,
+           round((abs(h.v0 - m.m0) + abs(h.v1 - m.m1) + abs(h.v2 - m.m2)) / 3.0, 6) AS mae
+    FROM h JOIN m ON h.event_type = m.event_type
+    """,
+)
+def mae_residual_multidim(spark, sf_dir):
+    """A10 (lstm_mts.py:357-364): mean absolute residual ACROSS feature
+    dimensions per timestep — vs per-type mean 'forecasts' so the oracle is
+    SQL-expressible; the engine form is one column expression over d dims."""
+    from mtsad_spark.operators.stats import mae_residual
+
+    ev = _t(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
+        F.round(F.avg("value"), 6).alias("v0"),
+        F.round(F.min("value"), 6).alias("v1"),
+        F.round(F.max("value"), 6).alias("v2"),
+    )
+    m = h.groupBy("event_type").agg(
+        F.avg("v0").alias("m0"), F.avg("v1").alias("m1"), F.avg("v2").alias("m2")
+    )
+    j = h.join(F.broadcast(m), "event_type")
+    out = mae_residual(j, ["v0", "v1", "v2"], ["m0", "m1", "m2"], out_col="mae")
+    return out.select("event_type", "bucket_ts", F.round("mae", 6).alias("mae"))

@@ -177,3 +177,16 @@ def gaussian_density(
         )
     out = joined.withColumn(out_col, F.exp(log_dens))
     return out.drop(*[f"{c}__{m}" for c in val_cols for m in ("mu", "var")])
+
+
+def mae_residual(
+    df: DataFrame, obs_cols: list[str], pred_cols: list[str], out_col: str = "mae"
+) -> DataFrame:
+    """A10 (prediction/lstm_mts.py:357-364): per-row mean absolute error
+    across the d feature dimensions — one column expression, no shuffle."""
+    assert len(obs_cols) == len(pred_cols)
+    total = None
+    for o, p in zip(obs_cols, pred_cols):
+        t = F.abs(F.col(o) - F.col(p))
+        total = t if total is None else total + t
+    return df.withColumn(out_col, total / F.lit(float(len(obs_cols))))
