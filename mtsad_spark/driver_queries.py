@@ -32,6 +32,10 @@ def _q(name: str, sql: str | None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns the SparkSession; pin the confs bucket boundaries and
+    # permissive casts depend on, so oracles match under any host config
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
