@@ -1108,3 +1108,33 @@ def mae_residual_multidim(spark, sf_dir):
     j = h.join(F.broadcast(m), "event_type")
     out = mae_residual(j, ["v0", "v1", "v2"], ["m0", "m1", "m2"], out_col="mae")
     return out.select("event_type", "bucket_ts", F.round("mae", 6).alias("mae"))
+
+
+@_q(
+    "cross_series_correlation",
+    _hourly_cte()
+    + """
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           round(corr(a.avg_v, b.avg_v), 6) AS pearson,
+           count(*) AS n_buckets
+    FROM hourly a JOIN hourly b
+      ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def cross_series_correlation(spark, sf_dir):
+    """Correlation join over aligned rollup series (cf. the published
+    correlation-joins-over-time-series line of work): self equi-join on the
+    bucket key — rollup-sized, never raw-data-sized — then Pearson per pair."""
+    hourly = _hourly_df(spark, sf_dir)
+    a = hourly.select(
+        F.col("event_type").alias("type_a"), "bucket_ts", F.col("avg_v").alias("va")
+    )
+    b = hourly.select(
+        F.col("event_type").alias("type_b"), "bucket_ts", F.col("avg_v").alias("vb")
+    )
+    j = a.join(b, "bucket_ts").filter(F.col("type_a") < F.col("type_b"))
+    return j.groupBy("type_a", "type_b").agg(
+        F.round(F.corr("va", "vb"), 6).alias("pearson"),
+        F.count("*").alias("n_buckets"),
+    )
