@@ -28,9 +28,17 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def seq_pipeline(spark, n_rows: int):
+def seq_pipeline(spark, n_rows: int) -> None:
     """North-star pipeline over the synthesized tokenized table: 3-tier exact
-    rollup cascade → LOCF gap-fill → z-score + EWMA scoring → Gorilla pack."""
+    rollup cascade → LOCF gap-fill → z-score + EWMA scoring → Gorilla pack.
+
+    Two jobs: the data-proportional scan→partials (persisted once, like the
+    checkpointed pipeline), then ONE action covering every downstream output
+    via a union of commutative content hashes (serialized per-output writes
+    pay fixed job latency five times over — measured in bench_scaling)."""
+    from functools import reduce
+
+    from mtsad_spark.bench_job import content_hash_row
     from mtsad_spark.fixtures import sequences
     from mtsad_spark.functions.gorilla import pack_rollup
     from mtsad_spark.operators.gapfill import gap_fill
@@ -39,18 +47,23 @@ def seq_pipeline(spark, n_rows: int):
 
     seq = sequences(spark, n_rows=n_rows, n_minutes=SEQ_MINUTES, with_tokens=False)
     finalized, partials = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
-    # the 1m partials feed every downstream output (1h/1d tiers, gap-fill,
-    # scoring, packing) — persist them exactly like the checkpointed pipeline
-    # does, so the raw scan+aggregate runs once
-    partials["1m"].persist()
+    partials["1m"].persist().count()  # job 1: raw scan+aggregate, once
     m1 = finalized["1m"]
     filled = gap_fill(m1, ["source"], "1m", ["mean"], method="locf")
-    z = sliding_zscore(filled, ["source"], "bucket_ts", "mean", w=30, k=3.0)
-    e = ewma_residual_chunked(
-        m1.select("source", "bucket_ts", "mean"), ["source"], "bucket_ts", "mean", alpha=0.2
-    )
-    packed = pack_rollup(m1, ["source"], "mean", chunk="day")
-    return [z, e, packed, finalized["1h"], finalized["1d"]]
+    outputs = {
+        "zscore": sliding_zscore(filled, ["source"], "bucket_ts", "mean", w=30, k=3.0),
+        "ewma": ewma_residual_chunked(
+            m1.select("source", "bucket_ts", "mean"), ["source"], "bucket_ts", "mean", alpha=0.2
+        ),
+        "gorilla": pack_rollup(m1, ["source"], "mean", chunk="day"),
+        "rollup_1h": finalized["1h"],
+        "rollup_1d": finalized["1d"],
+    }
+    reduce(
+        lambda a, b: a.unionByName(b),
+        [content_hash_row(df, n) for n, df in outputs.items()],
+    ).collect()  # job 2: all downstream lineages, one action
+    partials["1m"].unpersist()
 
 
 def main() -> None:
@@ -91,8 +104,7 @@ def main() -> None:
 
     # flagship sequences pipeline (BASELINE.json metric: sequences/sec)
     t0 = time.time()
-    for df in seq_pipeline(spark, SEQ_ROWS):
-        run_noop(df)
+    seq_pipeline(spark, SEQ_ROWS)
     seq_s = time.time() - t0
     timings["seq_pipeline"] = round(seq_s, 3)
 

@@ -108,17 +108,26 @@ def jaccard_pairs(
     """
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingled.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("shingle_b"))
+    # candidate pairs are orders of magnitude smaller than the shingle table:
+    # broadcast the pair side through both joins so the big shingle frame is
+    # scanned in place, never shuffled (verified: BroadcastHashJoin both hops)
+    cand_a = F.broadcast(pairs).join(sa, "id_a")
     inter = (
-        pairs.join(sa, "id_a")
+        F.broadcast(cand_a)
         .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
+    # sizes is one row per DOC (not broadcastable at corpus scale); the
+    # pair-sized side carries the broadcast hint at every hop instead
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    base = pairs.join(F.broadcast(inter), ["id_a", "id_b"], "left").na.fill({"n_inter": 0})
     out = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"n_inter": 0})
+        F.broadcast(base)
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+    )
+    out = (
+        F.broadcast(out)
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",
