@@ -114,6 +114,87 @@ def bitmap_scores_series(
     return scores, labels
 
 
+def bitmap_scores_supervised_series(
+    train_vals: np.ndarray,
+    test_vals: np.ndarray,
+    feature_window_size: int,
+    bins: int = 5,
+    level_size: int = 3,
+    lead_window_size: int = 100,
+    q: float = 99.7,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Supervised fit/predict contract (tsbitmapper.py:270-284 fit,
+    :159-187 _slide_lead_chunks, :312-341 predict): the reference bitmap is
+    built from the WHOLE training series; the test series slides a lead
+    window whose bitmap is compared against the fixed reference. Threshold =
+    q-percentile of scores[0 : -lead+1] (tsbitmapper.py:335)."""
+    base = bins + 2
+    space = base**level_size
+    tr_sym = _sax_symbols(np.asarray(train_vals, dtype=np.float64), feature_window_size, bins)
+    tr_codes = _ngram_codes(tr_sym, level_size, base)
+    ref = _chunk_bitmap(tr_codes, 0, len(tr_sym), feature_window_size, level_size, space)
+
+    te_sym = _sax_symbols(np.asarray(test_vals, dtype=np.float64), feature_window_size, bins)
+    te_codes = _ngram_codes(te_sym, level_size, base)
+    n = len(test_vals)
+    scores = np.zeros(n)
+    for i in range(1, n - lead_window_size + 1):
+        bf = _chunk_bitmap(te_codes, i, lead_window_size, feature_window_size, level_size, space)
+        d = ref - bf
+        scores[i] = float(d @ d)
+    interior = scores[0 : n - lead_window_size + 1]
+    thres = np.percentile(interior, q) if len(interior) else np.inf
+    labels = np.where(scores > thres, 1, -1).astype(np.int32)
+    return scores, labels
+
+
+def bitmap_scores_supervised(
+    test_df: DataFrame,
+    train_df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    feature_window_size: int = 50,
+    bins: int = 5,
+    level_size: int = 3,
+    lead_window_size: int = 100,
+    q: float = 99.7,
+) -> DataFrame:
+    """Spark wrapper for the supervised path: per-key training series are
+    collected into a broadcast dict (training data is reference-sized, not
+    corpus-sized), then each test key group scores in one pandas kernel."""
+    train_pdf = (
+        train_df.select(*keys, order_col, val_col)
+        .toPandas()
+        .sort_values([*keys, order_col], kind="mergesort")
+    )
+    train_map = {
+        k if isinstance(k, tuple) else (k,): g[val_col].values
+        for k, g in train_pdf.groupby(keys)
+    }
+    bc = test_df.sparkSession.sparkContext.broadcast(train_map)
+
+    out_schema = StructType(
+        list(test_df.schema.fields)
+        + [StructField("score", DoubleType()), StructField("label", IntegerType())]
+    )
+    cols = [f.name for f in test_df.schema.fields]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        k = tuple(pdf.iloc[0][c] for c in keys)
+        train_vals = bc.value.get(k)
+        if train_vals is None or len(pdf) < lead_window_size:
+            return pdf.assign(score=0.0, label=np.int32(-1))[cols + ["score", "label"]]
+        s, l = bitmap_scores_supervised_series(
+            train_vals, pdf[val_col].values,
+            feature_window_size, bins, level_size, lead_window_size, q,
+        )
+        return pdf.assign(score=s, label=l)[cols + ["score", "label"]]
+
+    return test_df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
+
+
 def bitmap_scores(
     df: DataFrame,
     keys: list[str],

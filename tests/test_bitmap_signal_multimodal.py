@@ -194,3 +194,28 @@ def test_multimodal_decode_resize_frames(spark):
     n_videos = media.filter("kind='video'").count()
     assert frames["media_id"].nunique() == n_videos
     assert (frames.groupby("media_id")["frame_idx"].min() == 0).all()
+
+
+def test_bitmap_supervised_predict(spark):
+    """fit on a clean wave, predict on an anomalous one: supervised mirror of
+    test_tsbitmaps.py:56-66 bounded-outcome style."""
+    from mtsad_spark.functions.tsbitmap import bitmap_scores_supervised
+
+    clean = mts2_wave(size=1500, seed=7)
+    clean = clean[clean["tag"] == -1]  # train on normal-only (P3 semantics)
+    anom = mts2_wave(size=1500)
+    train = spark.createDataFrame(clean.assign(series="s")[["series", "t", "v0"]])
+    test = spark.createDataFrame(anom.assign(series="s")[["series", "t", "v0"]])
+    out = (
+        bitmap_scores_supervised(
+            test, train, ["series"], "t", "v0",
+            feature_window_size=20, bins=5, level_size=3, lead_window_size=50, q=98,
+        )
+        .orderBy("t")
+        .toPandas()
+    )
+    truth = anom.sort_values("t")["tag"].values
+    pred = out["label"].values
+    n_flag = int((pred == 1).sum())
+    assert 0 < n_flag <= 0.1 * len(pred)
+    assert ((pred == 1) & (truth == 1)).sum() > 0
