@@ -1138,3 +1138,76 @@ def cross_series_correlation(spark, sf_dir):
         F.round(F.corr("va", "vb"), 6).alias("pearson"),
         F.count("*").alias("n_buckets"),
     )
+
+
+@_q(
+    "sessionize_users",
+    """
+    WITH g AS (SELECT user_id, ts,
+                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY 1, 2
+    """,
+)
+def sessionize_users(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): cumulative-sum-of-
+    boundaries trick — two window passes, no UDF, scales per user key."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    s = ev.withColumn("_n", new_s).withColumn("session_id", F.sum("_n").over(cum))
+    return s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@_q(
+    "distinct_users_1d",
+    """
+    SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+           count(DISTINCT user_id) AS n_users, count(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def distinct_users_1d(spark, sf_dir):
+    """Distinct-count rollup (exact here; at raw 10^12 scale swap to
+    approx_count_distinct / HLL-sketch partials per SCALING.md)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type", F.date_trunc("day", "ts").alias("bucket_ts")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q("token_histogram", None)
+def token_histogram(spark, sf_dir):
+    """input_hint array column at work: per-source token-id histogram over
+    1000 vocab bins via posexplode-free higher-order aggregation — tokens are
+    exploded ONCE, pre-bucketed in the array domain (JVM), then hash-agged."""
+    from mtsad_spark.fixtures import sequences
+
+    seq = sequences(spark, n_rows=3_000, n_minutes=60, with_tokens=True)
+    binned = seq.select(
+        "source",
+        F.explode(
+            F.transform(F.col("tokens"), lambda t: (t / 50).cast("int"))
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(F.count("*").alias("freq"))
