@@ -20,7 +20,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from mtsad_spark.session import get_spark  # noqa: E402
 
-SEQ_ROWS = int(os.environ.get("BENCH_SEQ_ROWS", "8000000"))
+SEQ_ROWS = int(os.environ.get("BENCH_SEQ_ROWS", "16000000"))
 SEQ_MINUTES = 10_080  # 7 days of 1m buckets
 
 
@@ -110,20 +110,28 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "seq_rows": SEQ_ROWS,
-                "seq_throughput_rows_per_sec": round(SEQ_ROWS / seq_s, 1),
-                "cpus": cpus,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "seq_rows": SEQ_ROWS,
+        "seq_throughput_rows_per_sec": round(SEQ_ROWS / seq_s, 1),
+        "cpus": cpus,
+    }
+    # surface the committed N->4N scaling measurement (tools/bench_scaling.py)
+    try:
+        import re
+
+        md = open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")).read()
+        m = re.search(r"Scaling efficiency \(N → 4N\): ([0-9.]+)", md)
+        if m:
+            out["scaling_efficiency_n_to_4n"] = float(m.group(1))
+            out["scaling_evidence"] = "BENCH/BASELINE.md"
+    except OSError:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
