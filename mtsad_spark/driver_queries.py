@@ -119,7 +119,7 @@ def rollup_1h_composed(spark, sf_dir):
 @_q(
     "rollup_1d_composed",
     """
-    SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
            count(*) AS cnt, round(sum(value), 6) AS sum_v,
            round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
     FROM events GROUP BY 1, 2
@@ -383,7 +383,7 @@ def percentile_sweep(spark, sf_dir):
                       sum(CASE WHEN pred AND NOT truth THEN 1 ELSE 0 END) AS fp,
                       sum(CASE WHEN NOT pred AND truth THEN 1 ELSE 0 END) AS fn
                FROM x GROUP BY 1)
-    SELECT event_type, tp, fp, fn,
+    SELECT event_type, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
            round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0 END, 6) AS precision,
            round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0 END, 6) AS recall,
            round(CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tp > 0
@@ -536,7 +536,7 @@ def threshold_filter_p95(spark, sf_dir):
 @_q(
     "topk_per_type",
     """
-    SELECT event_type, rnk, event_id, value FROM (
+    SELECT event_type, CAST(rnk AS INTEGER) AS rnk, event_id, value FROM (
       SELECT event_type, event_id, value,
              row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
       FROM events)
@@ -563,8 +563,8 @@ def topk_per_type(spark, sf_dir):
                       count(*) OVER (PARTITION BY event_type) AS n
                FROM events)
     SELECT event_type,
-           sum(CASE WHEN rn <= floor(n * 0.8) THEN 1 ELSE 0 END) AS n_train,
-           sum(CASE WHEN rn > floor(n * 0.8) THEN 1 ELSE 0 END) AS n_test
+           CAST(sum(CASE WHEN rn <= floor(n * 0.8) THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN rn > floor(n * 0.8) THEN 1 ELSE 0 END) AS BIGINT) AS n_test
     FROM r GROUP BY 1
     """,
 )
@@ -734,7 +734,7 @@ def dedup_exact_docs(spark, sf_dir):
     "docs_quality",
     r"""
     SELECT doc_id,
-           len(regexp_extract_all(text, '\S+')) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
            round(length(text)::DOUBLE / nullif(len(regexp_extract_all(text, '\S+')), 0), 6) AS mean_word_len,
            round(len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / greatest(length(text), 1), 6) AS punct_ratio,
            round(len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / greatest(length(text), 1), 6) AS alpha_ratio
@@ -774,7 +774,7 @@ def docs_fingerprint(spark, sf_dir):
     r"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '\S+'))) AS total_tokens,
+           CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens,
            round(avg(len(regexp_extract_all(text, '\S+'))), 6) AS avg_tokens
     FROM documents GROUP BY 1
     """,
@@ -804,7 +804,7 @@ def docs_token_stats_by_source(spark, sf_dir):
                       round(list_dot_product(qe, ce)
                             / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))), 6) AS cosine
                FROM q, c WHERE neighbor_id != query_id)
-    SELECT query_id, neighbor_id, cosine, rank FROM (
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       FROM s)
     WHERE rank <= 3
@@ -1151,7 +1151,7 @@ def cross_series_correlation(spark, sf_dir):
                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                FROM g)
-    SELECT user_id, session_id, count(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
     FROM s GROUP BY 1, 2
     """,
@@ -1181,7 +1181,7 @@ def sessionize_users(spark, sf_dir):
 @_q(
     "distinct_users_1d",
     """
-    SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
            count(DISTINCT user_id) AS n_users, count(*) AS n_events
     FROM events GROUP BY 1, 2
     """,
