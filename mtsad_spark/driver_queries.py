@@ -1211,3 +1211,24 @@ def token_histogram(spark, sf_dir):
         ).alias("bin"),
     )
     return binned.groupBy("source", "bin").agg(F.count("*").alias("freq"))
+
+
+@_q("ivf_ann_embeddings", None)
+def ivf_ann_embeddings(spark, sf_dir):
+    from mtsad_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return cosine_topk_ivf(emb, emb.filter("vec_id < 5"), k=3, n_lists=8, n_probe=3)
+
+
+@_q("embedding_near_dups", None)
+def embedding_near_dups_q(spark, sf_dir):
+    from mtsad_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = embedding_near_dups(emb, dim=64, threshold=0.9, n_planes=6)
+    return out.withColumn("cosine", F.round("cosine", 6))

@@ -81,6 +81,112 @@ def hyperplane_buckets(
     return df.withColumn(out_col, bucket)
 
 
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer partitions the corpus into inverted
+    lists; each query brute-forces only its ``n_probe`` nearest lists.
+
+    The quantizer trains once (distributed k-means on the corpus, seeded);
+    assignment is one model.transform pass. At 10^9+ vectors the lists are
+    the shuffle partitioning — each query touches n_probe/n_lists of the
+    corpus. Recall < 1 by construction; raise n_probe toward n_lists for the
+    exact limit.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        array_to_vector(F.col(vec_col)).alias("_feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_list").fit(c)
+    lists = km.transform(c).drop("_feat")
+    centers = km.clusterCenters()
+
+    # per-query n_probe nearest centroids, computed driver-side on the tiny
+    # centroid table then broadcast via explode
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    center_arrays = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(F.col("_qv"), ca, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for ca in center_arrays
+    ])
+    probe = (
+        q.withColumn("_d", dists)
+        .withColumn(
+            "_probe",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.transform(
+                            F.col("_d"),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    lambda s: s["i"],
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("query_id", "_qv", F.explode("_probe").alias("_list"))
+    )
+    joined = lists.join(F.broadcast(probe), "_list").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    sim = joined.withColumn(
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets the
+    corpus, the self-join runs WITHIN buckets only, exact cosine verifies.
+    (id_a, id_b, cosine) with cosine ≥ threshold. High-cosine pairs land in
+    the same bucket with probability (1 − θ/π)^n_planes — e.g. ≥0.95 cosine
+    and 8 planes ⇒ ~0.6 per table; union over independent plane seeds raises
+    recall (n_tables)."""
+    b = hyperplane_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", dim, n_planes, seed,
+    )
+    l = b.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket")
+    r = b.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket")
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    sim = pairs.withColumn(
+        "cosine", _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    )
+    return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,

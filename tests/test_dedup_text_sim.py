@@ -180,3 +180,47 @@ def test_fingerprints(spark, docs):
     s0 = set(rh[rh["doc_id"] == 0]["fp"])
     s1 = set(rh[rh["doc_id"] == 1]["fp"])
     assert s0 == s1 and len(s0) > 0
+
+
+def test_ivf_ann_recall(spark):
+    rng = np.random.RandomState(8)
+    centers = rng.randn(6, 16) * 5
+    emb = np.vstack([c + rng.randn(50, 16) * 0.4 for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(300), "embedding": [list(map(float, e)) for e in emb]})
+    df = spark.createDataFrame(pdf)
+    queries = df.filter("vec_id IN (0, 50, 100)")
+    from mtsad_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    exact = cosine_topk_bruteforce(df, queries, k=5).toPandas()
+    approx = cosine_topk_ivf(df, queries, k=5, n_lists=8, n_probe=3).toPandas()
+    rec = 0.0
+    for q in (0, 50, 100):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        rec += len(e & a) / 5
+    assert rec / 3 >= 0.8  # clustered data, 3/8 lists probed
+
+
+def test_embedding_near_dups(spark):
+    rng = np.random.RandomState(9)
+    base = rng.randn(40, 16)
+    # rows 100.. are near-copies of rows 0.. (tiny perturbation → cosine ≈ 1)
+    near = base + rng.randn(40, 16) * 0.01
+    emb = np.vstack([base, rng.randn(60, 16), near])
+    ids = list(range(40)) + list(range(40, 100)) + list(range(100, 140))
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, e)) for e in emb]})
+    df = spark.createDataFrame(pdf)
+    from mtsad_spark.operators.similarity import embedding_near_dups
+
+    out = embedding_near_dups(df, dim=16, threshold=0.98, n_planes=6).toPandas()
+    got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    expected = {(i, i + 100) for i in range(40)}
+    # LSH recall < 1 by construction; most true near-dups must surface and
+    # every reported pair must truly be ≥ threshold
+    assert len(got & expected) >= 0.5 * len(expected)
+    norms = np.linalg.norm(emb, axis=1)
+    id2row = {v: i for i, v in enumerate(ids)}
+    for a, b in got:
+        ia, ib = id2row[a], id2row[b]
+        cos = emb[ia] @ emb[ib] / (norms[ia] * norms[ib])
+        assert cos >= 0.98 - 1e-9
