@@ -88,7 +88,11 @@ def streaming_ewma(
                     "resid": out_resid,
                 }
             )
-        state.update((float(level) if level is not None else 0.0, last_ts, n))
+        # only persist state once a real observation seeded the recursion —
+        # otherwise a data-less batch would store a spurious 0.0 level that a
+        # later batch would treat as a genuine prior
+        if level is not None:
+            state.update((float(level), last_ts, n))
 
     return (
         stream.groupBy(key_col)
