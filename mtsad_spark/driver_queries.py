@@ -55,64 +55,82 @@ def oracle_sql() -> dict[str, str]:
     "rollup_1m",
     """
     SELECT event_type, date_trunc('minute', ts) AS bucket_ts,
-           count(*) AS cnt, round(sum(value), 6) AS sum_v,
-           round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / (100.0 * count(value)) AS avg_v,
+           min(value) AS min_v, max(value) AS max_v
     FROM events GROUP BY 1, 2
     """,
 )
 def rollup_1m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.groupBy(
         "event_type", F.date_trunc("minute", "ts").alias("bucket_ts")
     ).agg(
         F.count("*").alias("cnt"),
-        F.round(F.sum("value"), 6).alias("sum_v"),
-        F.round(F.avg("value"), 6).alias("avg_v"),
+        (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_v"),
+        (F.sum(cents).cast("double") / (F.lit(100.0) * F.count("value"))).alias("avg_v"),
         F.min("value").alias("min_v"),
         F.max("value").alias("max_v"),
     )
 
 
 def _hourly_cte() -> str:
+    """Bucket average via EXACT integer cents: events.value is a 2-decimal
+    double, so sum(round(value*100)) is an exact long in both engines and the
+    single float division yields BITWISE-identical avg_v — no round() needed.
+    (round(avg(value), 6) was measured to flip at 6-decimal half-way points:
+    power-of-two bucket counts make exact decimal halves common, and the two
+    engines' unrounded sums differ by 1 ulp.)"""
     return (
         "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts, "
-        "round(avg(value), 6) AS avg_v FROM events GROUP BY 1, 2)"
+        "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / (100.0 * count(value)) AS avg_v "
+        "FROM events GROUP BY 1, 2)"
     )
 
 
 def _hourly_df(spark, sf_dir) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
-    ).agg(F.round(F.avg("value"), 6).alias("avg_v"))
+    ).agg(
+        (F.sum(cents).cast("double") / (F.lit(100.0) * F.count("value"))).alias("avg_v")
+    )
 
 
 @_q(
     "rollup_1h_composed",
     """
     SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-           count(*) AS cnt, round(sum(value), 6) AS sum_v,
-           round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / (100.0 * count(value)) AS avg_v,
+           min(value) AS min_v, max(value) AS max_v
     FROM events GROUP BY 1, 2
     """,
 )
 def rollup_1h_composed(spark, sf_dir):
     """1h tier COMPOSED from 1m partial states (partial/final split) — the
     oracle aggregates the raw data directly; equality proves the
-    re-aggregation algebra (operators/rollup.py reaggregate)."""
+    re-aggregation algebra. Integer-cents partials (exact_int path) make the
+    composition bitwise-equal to the direct aggregation."""
     from mtsad_spark.operators.rollup import reaggregate, rollup_partials
 
-    ev = _t(spark, sf_dir, "events")
-    p1m = rollup_partials(ev, "ts", "value", ["event_type"], "1m", exact_int=False)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    p1m = rollup_partials(ev, "ts", "cents", ["event_type"], "1m", exact_int=True)
     p1h = reaggregate(p1m, ["event_type"], "1h")
     return p1h.select(
         "event_type",
         "bucket_ts",
         F.col("cnt"),
-        F.round(F.col("s1"), 6).alias("sum_v"),
-        F.round(F.col("s1") / F.col("cnt"), 6).alias("avg_v"),
-        F.col("vmin").alias("min_v"),
-        F.col("vmax").alias("max_v"),
+        (F.col("s1").cast("double") / F.lit(100.0)).alias("sum_v"),
+        (F.col("s1").cast("double") / (F.lit(100.0) * F.col("cnt"))).alias("avg_v"),
+        (F.col("vmin").cast("double") / F.lit(100.0)).alias("min_v"),
+        (F.col("vmax").cast("double") / F.lit(100.0)).alias("max_v"),
     )
 
 
@@ -120,25 +138,29 @@ def rollup_1h_composed(spark, sf_dir):
     "rollup_1d_composed",
     """
     SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
-           count(*) AS cnt, round(sum(value), 6) AS sum_v,
-           round(avg(value), 6) AS avg_v, min(value) AS min_v, max(value) AS max_v
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_v,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / (100.0 * count(value)) AS avg_v,
+           min(value) AS min_v, max(value) AS max_v
     FROM events GROUP BY 1, 2
     """,
 )
 def rollup_1d_composed(spark, sf_dir):
     from mtsad_spark.operators.rollup import reaggregate, rollup_partials
 
-    ev = _t(spark, sf_dir, "events")
-    p1m = rollup_partials(ev, "ts", "value", ["event_type"], "1m", exact_int=False)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    p1m = rollup_partials(ev, "ts", "cents", ["event_type"], "1m", exact_int=True)
     p1d = reaggregate(reaggregate(p1m, ["event_type"], "1h"), ["event_type"], "1d")
     return p1d.select(
         "event_type",
         "bucket_ts",
         F.col("cnt"),
-        F.round(F.col("s1"), 6).alias("sum_v"),
-        F.round(F.col("s1") / F.col("cnt"), 6).alias("avg_v"),
-        F.col("vmin").alias("min_v"),
-        F.col("vmax").alias("max_v"),
+        (F.col("s1").cast("double") / F.lit(100.0)).alias("sum_v"),
+        (F.col("s1").cast("double") / (F.lit(100.0) * F.col("cnt"))).alias("avg_v"),
+        (F.col("vmin").cast("double") / F.lit(100.0)).alias("min_v"),
+        (F.col("vmax").cast("double") / F.lit(100.0)).alias("max_v"),
     )
 
 
@@ -1078,9 +1100,10 @@ def pca_uts_embeddings(spark, sf_dir):
     "mae_residual_multidim",
     """
     WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
-                      round(avg(value), 6) AS v0,
-                      round(min(value), 6) AS v1,
-                      round(max(value), 6) AS v2
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                          / (100.0 * count(value)) AS v0,
+                      min(value) AS v1,
+                      max(value) AS v2
                FROM events GROUP BY 1, 2),
          m AS (SELECT event_type,
                       avg(v0) AS m0, avg(v1) AS m1, avg(v2) AS m2
@@ -1097,10 +1120,11 @@ def mae_residual_multidim(spark, sf_dir):
     from mtsad_spark.operators.stats import mae_residual
 
     ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
     h = ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bucket_ts")).agg(
-        F.round(F.avg("value"), 6).alias("v0"),
-        F.round(F.min("value"), 6).alias("v1"),
-        F.round(F.max("value"), 6).alias("v2"),
+        (F.sum(cents).cast("double") / (F.lit(100.0) * F.count("value"))).alias("v0"),
+        F.min("value").alias("v1"),
+        F.max("value").alias("v2"),
     )
     m = h.groupBy("event_type").agg(
         F.avg("v0").alias("m0"), F.avg("v1").alias("m1"), F.avg("v2").alias("m2")
@@ -1143,12 +1167,12 @@ def cross_series_correlation(spark, sf_dir):
 @_q(
     "sessionize_users",
     """
-    WITH g AS (SELECT user_id, ts,
+    WITH g AS (SELECT user_id, ts, event_id,
                       CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          s AS (SELECT user_id, ts,
-                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                FROM g)
     SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
@@ -1163,7 +1187,7 @@ def sessionize_users(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     prev = F.lag("ts").over(w)

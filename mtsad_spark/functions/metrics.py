@@ -13,6 +13,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def with_prf_columns(counts: DataFrame) -> DataFrame:
+    """Attach precision/recall/f1 to a frame carrying tp/fp/fn count columns
+    — THE single implementation of the guarded formula (f1 = 2pr/(p+r), all
+    three 0 when undefined); every sweep/ensemble caller reuses it."""
+    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
+    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
+    out = counts.withColumn("precision", prec).withColumn("recall", rec)
+    f1 = F.when(
+        F.col("precision") + F.col("recall") > 0,
+        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
+    ).otherwise(0.0)
+    return out.withColumn("f1", f1)
+
+
 def prf(
     df: DataFrame,
     truth_col: str,
@@ -30,14 +44,7 @@ def prf(
         F.sum((~p & t).cast("long")).alias("fn"),
         F.sum((~p & ~t).cast("long")).alias("tn"),
     )
-    prec = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
-    rec = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
-    out = agg.withColumn("precision", prec).withColumn("recall", rec)
-    f1 = F.when(
-        F.col("precision") + F.col("recall") > 0,
-        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
-    ).otherwise(0.0)
-    out = out.withColumn("f1", f1)
+    out = with_prf_columns(agg)
     if round_to is not None:
         for c in ("precision", "recall", "f1"):
             out = out.withColumn(c, F.round(F.col(c), round_to))

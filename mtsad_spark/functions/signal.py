@@ -125,15 +125,14 @@ def epsilon_by_f1(
     joined = df.join(F.broadcast(steps), keys, "inner") if keys else df.crossJoin(F.broadcast(steps))
     pred = F.col(density_col) < F.col("epsilon")  # low density ⇒ anomaly
     truth = F.col(truth_col) == 1
+    from .metrics import with_prf_columns
+
     agg = joined.groupBy(*keys, "epsilon").agg(
         F.sum((pred & truth).cast("long")).alias("tp"),
         F.sum((pred & ~truth).cast("long")).alias("fp"),
         F.sum((~pred & truth).cast("long")).alias("fn"),
     )
-    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
-    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
-    f1 = F.when(p + r > 0, 2 * p * r / (p + r)).otherwise(0.0)
-    scored = agg.withColumn("f1", f1)
+    scored = with_prf_columns(agg)
     return scored.groupBy(*keys).agg(
         F.max_by("epsilon", F.col("f1")).alias("epsilon"), F.max("f1").alias("f1")
     )

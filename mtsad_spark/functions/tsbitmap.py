@@ -98,6 +98,10 @@ def bitmap_scores_series(
     (tsbitmapper.py:287-310): score[i] = ||bitmap(lag) − bitmap(lead)||²,
     threshold = q-percentile of the interior scores."""
     n = len(vals)
+    # series too short for even one n-gram / one lag+lead split: nothing to
+    # score — all-normal, all-zero (mirrors the reference's cold-start zeros)
+    if n < max(level_size, lag_window_size + lead_window_size):
+        return np.zeros(n), np.full(n, -1, dtype=np.int32)
     sym = _sax_symbols(np.asarray(vals, dtype=np.float64), feature_window_size, bins)
     base = bins + 2
     space = base**level_size
@@ -128,15 +132,17 @@ def bitmap_scores_supervised_series(
     built from the WHOLE training series; the test series slides a lead
     window whose bitmap is compared against the fixed reference. Threshold =
     q-percentile of scores[0 : -lead+1] (tsbitmapper.py:335)."""
+    n = len(test_vals)
     base = bins + 2
     space = base**level_size
+    if len(train_vals) < level_size or n < max(level_size, lead_window_size):
+        return np.zeros(n), np.full(n, -1, dtype=np.int32)
     tr_sym = _sax_symbols(np.asarray(train_vals, dtype=np.float64), feature_window_size, bins)
     tr_codes = _ngram_codes(tr_sym, level_size, base)
     ref = _chunk_bitmap(tr_codes, 0, len(tr_sym), feature_window_size, level_size, space)
 
     te_sym = _sax_symbols(np.asarray(test_vals, dtype=np.float64), feature_window_size, bins)
     te_codes = _ngram_codes(te_sym, level_size, base)
-    n = len(test_vals)
     scores = np.zeros(n)
     for i in range(1, n - lead_window_size + 1):
         bf = _chunk_bitmap(te_codes, i, lead_window_size, feature_window_size, level_size, space)

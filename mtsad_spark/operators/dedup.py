@@ -31,7 +31,10 @@ def drop_exact_dups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "content_hash", F.col("canonical_id").alias(id_col)
     )
     hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
-    return hashed.join(F.broadcast(canon), ["content_hash", id_col], "inner").drop("content_hash")
+    # canon is one row per DISTINCT document — corpus-sized, so NO broadcast
+    # hint: a shuffled hash join on (content_hash, id) scales; AQE may still
+    # choose broadcast when the input is genuinely small
+    return hashed.join(canon, ["content_hash", id_col], "inner").drop("content_hash")
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
@@ -108,13 +111,15 @@ def jaccard_pairs(
     """
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingled.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("shingle_b"))
-    # candidate pairs are orders of magnitude smaller than the shingle table:
-    # broadcast the pair side through both joins so the big shingle frame is
-    # scanned in place, never shuffled (verified: BroadcastHashJoin both hops)
+    # candidate PAIRS are orders of magnitude smaller than the shingle table
+    # → broadcast them for the first hop. The joined (pairs × shingles-of-a)
+    # frame is NOT pair-sized (it carries every shingle of every id_a), so the
+    # second hop stays a shuffled hash join keyed by the shingle value.
     cand_a = F.broadcast(pairs).join(sa, "id_a")
     inter = (
-        F.broadcast(cand_a)
-        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b")))
+        cand_a.join(
+            sb, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b"))
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
@@ -194,16 +199,30 @@ def simhash_dup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidates via the 4×16-bit chunk pigeonhole (distance ≤ 3 ⇒ at least one
-    of 4 chunks equal) — bucket equi-join, then exact popcount verify.
+    Candidate generation uses the chunk pigeonhole: splitting 64 bits into
+    ``max_hamming + 1`` chunks guarantees any pair within distance
+    max_hamming shares at least one FULL chunk (d differing bits cannot touch
+    all d+1 chunks) — bucket equi-join per chunk, then exact popcount verify.
+    Chunk count therefore GROWS with max_hamming (capped at 16 → recall is
+    complete for max_hamming ≤ 15; beyond that, use multiple simhash seeds).
     """
+    n_chunks = min(max_hamming + 1, 16)
+    base_w = 64 // n_chunks
+    # every bit must belong to exactly one chunk or the pigeonhole breaks:
+    # the last chunk absorbs the remainder bits
+    widths = [base_w] * (n_chunks - 1) + [64 - base_w * (n_chunks - 1)]
+    offsets = [base_w * c for c in range(n_chunks)]
     chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
+        (
+            F.col("simhash")  # w=64 ⇒ whole signature (mask would overflow long)
+            if w == 64
+            else F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        ).alias(f"c{c}")
+        for c, (off, w) in enumerate(zip(offsets, widths))
     ]
     s = sigs.select(F.col(id_col), F.col("simhash"), *chunks)
     pairs = None
-    for c in range(4):
+    for c in range(n_chunks):
         l = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
         r = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
         p = l.join(r, ["ck"]).filter(F.col("id_a") < F.col("id_b")).drop("ck")

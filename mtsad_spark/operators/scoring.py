@@ -279,15 +279,10 @@ def threshold_sweep(
     joined = df.join(F.broadcast(th), keys, "inner") if keys else df.crossJoin(F.broadcast(th))
     pred = F.when(F.col(score_col) > F.col("threshold"), 1).otherwise(-1)
     truth = F.col(truth_col)
+    from ..functions.metrics import with_prf_columns
+
     tp = F.sum(((pred == 1) & (truth == 1)).cast("long")).alias("tp")
     fp = F.sum(((pred == 1) & (truth != 1)).cast("long")).alias("fp")
     fn = F.sum(((pred != 1) & (truth == 1)).cast("long")).alias("fn")
     agg = joined.groupBy(*keys, "q", "threshold").agg(tp, fp, fn)
-    p = F.when(F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))).otherwise(0.0)
-    r = F.when(F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))).otherwise(0.0)
-    out = agg.withColumn("precision", p).withColumn("recall", r)
-    f1 = F.when(
-        F.col("precision") + F.col("recall") > 0,
-        2 * F.col("precision") * F.col("recall") / (F.col("precision") + F.col("recall")),
-    ).otherwise(0.0)
-    return out.withColumn("f1", f1).drop("tp", "fp", "fn").orderBy(*keys, "q")
+    return with_prf_columns(agg).drop("tp", "fp", "fn").orderBy(*keys, "q")

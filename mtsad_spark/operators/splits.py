@@ -50,17 +50,24 @@ def stratified_split(
 
 
 def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
-    """O1: deterministic row shuffle — orderBy(rand(seed)) with a stable
-    tiebreak; fixture-gen only, the engine itself never reorders rows
+    """O1: deterministic row shuffle — order by a content hash mixed with the
+    seed. (``rand(seed)`` is seeded PER PARTITION, so its order would change
+    with the input partitioning; a row-content hash is partitioning-
+    independent.) Fixture-gen only — the engine itself never reorders rows
     non-deterministically."""
-    return df.orderBy(F.rand(seed), *df.columns[:1])
+    return df.orderBy(F.xxhash64(*df.columns, F.lit(seed)), *df.columns[:1])
 
 
 def dropin_augment(df: DataFrame, factor_max: int = 10, seed: int = 42) -> DataFrame:
     """O8: duplicate each row randint(0, factor_max) times
-    (lstm_model.py:142-157) — seeded, fixture-only."""
+    (lstm_model.py:142-157) — seeded, fixture-only.
+
+    n == 0 must DROP the row: ``sequence(1, 0)`` would count DOWN ([1, 0]),
+    so the zero case is routed through an empty array (explode emits nothing).
+    """
     n = (F.rand(seed) * factor_max).cast("int")
-    return df.withColumn("_k", F.explode(F.sequence(F.lit(1), n))).drop("_k")
+    reps = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("_k", F.explode(reps)).drop("_k")
 
 
 def label_encode(df: DataFrame, col: str, mapping: dict[str, int], out_col: str | None = None) -> DataFrame:

@@ -83,8 +83,16 @@ def sliding_windows(
     win = Window.partitionBy(*keys).orderBy(order_col).rowsBetween(-(w - 1), 0)
     out = df
     for c in val_cols:
-        out = out.withColumn(f"{c}_win", F.collect_list(c).over(win))
-    out = out.filter(F.size(f"{val_cols[0]}_win") == w)
+        # collect_list silently SKIPS nulls, which would misalign windows
+        # across columns; map null → NaN first (pandas keeps NaN in place,
+        # reference lstm_mts.py:149-151 semantics), then every column's
+        # window has exactly w entries
+        safe = F.when(F.col(c).isNull(), F.lit(float("nan"))).otherwise(
+            F.col(c).cast("double")
+        )
+        out = out.withColumn(f"{c}_win", F.collect_list(safe).over(win))
+    for c in val_cols:
+        out = out.filter(F.size(f"{c}_win") == w)
     if tag_col is not None:
         # the frame ends at the current row ⇒ current row IS the last row
         out = out.withColumn("win_tag", F.col(tag_col))

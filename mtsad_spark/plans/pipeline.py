@@ -55,6 +55,35 @@ class RollupPipeline:
         self.zscore_w, self.zscore_k, self.ewma_alpha = zscore_w, zscore_k, ewma_alpha
         self.run_id = uuid.uuid4().hex[:12]
         self._metrics: list[tuple] = []
+        self.config = {
+            "keys": self.keys,
+            "ts_col": ts_col,
+            "val_col": val_col,
+            "zscore_w": zscore_w,
+            "zscore_k": zscore_k,
+            "ewma_alpha": ewma_alpha,
+        }
+
+    def _check_manifest(self, resume: bool) -> None:
+        """Checkpoints are only valid for the config that produced them: a
+        resume with different parameters must fail loudly, not silently serve
+        stale outputs."""
+        import json
+        import os
+
+        path = os.path.join(self.tables.base_dir, "_manifest.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                stored = json.load(f)
+            if resume and stored != self.config:
+                raise ValueError(
+                    f"checkpoint dir {self.tables.base_dir} was produced with "
+                    f"different parameters ({stored} != {self.config}); use a "
+                    "new output dir or resume=False"
+                )
+        os.makedirs(self.tables.base_dir, exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(self.config, f)
 
     # ------------------------------------------------------------- plumbing
     def _stage(self, name: str, build, partition_by: list[str] | None = None, resume: bool = True) -> DataFrame:
@@ -85,6 +114,7 @@ class RollupPipeline:
     def run(self, sequences: DataFrame, resume: bool = True) -> dict[str, DataFrame]:
         out: dict[str, DataFrame] = {}
         keys = self.keys
+        self._check_manifest(resume)
 
         partials = {}
         partials["1m"] = self._stage(

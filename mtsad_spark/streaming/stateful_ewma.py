@@ -66,6 +66,11 @@ def streaming_ewma(
             level, last_ts, n = None, -(2**62), 0
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
+            # rows older than the recursion's frontier arrived out of order
+            # ACROSS batches — applying them would corrupt the ordered
+            # recursion, so they are dropped (watermark-style late-data
+            # semantics; state carries last_ts precisely for this check)
+            pdf = pdf[pdf[ts_col].astype("int64") > last_ts]
             out_level, out_resid = [], []
             for v in pdf[val_col].astype(float):
                 if level is None:

@@ -224,3 +224,41 @@ def test_embedding_near_dups(spark):
         ia, ib = id2row[a], id2row[b]
         cos = emb[ia] @ emb[ib] / (norms[ia] * norms[ib])
         assert cos >= 0.98 - 1e-9
+
+
+def test_simhash_pigeonhole_scales_with_max_hamming(spark):
+    """Pairs within max_hamming MUST be found even when their differing bits
+    hit many chunks (the fixed-4-chunk scheme missed these)."""
+    import pandas as pd
+
+    # craft signatures: b differs from a in exactly 6 bits spread widely
+    a = 0x0F0F0F0F0F0F0F0F
+    bits = [0, 11, 22, 33, 44, 55]
+    b = a
+    for x in bits:
+        b ^= 1 << x
+    def to_long(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+    sigs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "simhash": [to_long(a), to_long(b)]})
+    )
+    from mtsad_spark.operators.dedup import simhash_dup_pairs
+
+    out = simhash_dup_pairs(sigs, "doc_id", max_hamming=6).toPandas()
+    assert len(out) == 1 and out.iloc[0]["hamming"] == 6
+    # and beyond the bound the pair must NOT appear
+    out2 = simhash_dup_pairs(sigs, "doc_id", max_hamming=5).toPandas()
+    assert len(out2) == 0
+
+
+def test_dropin_zero_drops_rows(spark):
+    from mtsad_spark.operators.splits import dropin_augment
+    from pyspark.sql import functions as F
+
+    base = spark.range(2000).withColumn("v", F.col("id"))
+    aug = dropin_augment(base, factor_max=10, seed=3)
+    counts = aug.groupBy("id").count().toPandas()
+    # rows with n==0 are genuinely dropped (≈10% of inputs)
+    assert len(counts) < 2000
+    # and no row is duplicated more than factor_max-1 times
+    assert counts["count"].max() <= 9

@@ -70,3 +70,19 @@ def test_lineage_row_counts_add_up(spark, seq_df, tmp_path):
     # skew is present in the fixture: web carries the majority
     w = lineage.set_index("source")["raw_rows"]
     assert w["web"] > 0.5 * lineage["raw_rows"].sum()
+
+
+def test_resume_with_changed_params_refuses(spark, seq_df, tmp_path):
+    """Checkpoints are config-bound: resuming with different parameters must
+    fail loudly instead of serving stale outputs."""
+    import pytest as _pytest
+
+    from mtsad_spark.plans.pipeline import RollupPipeline
+
+    base = str(tmp_path / "pipe4")
+    RollupPipeline(spark, base, zscore_w=30).run(seq_df)
+    with _pytest.raises(ValueError, match="different parameters"):
+        RollupPipeline(spark, base, zscore_w=60).run(seq_df)
+    # explicit resume=False recomputes and updates the manifest
+    out = RollupPipeline(spark, base, zscore_w=60).run(seq_df, resume=False)
+    assert out["rollup_1m"].count() > 0
