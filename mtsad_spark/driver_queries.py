@@ -1256,3 +1256,38 @@ def embedding_near_dups_q(spark, sf_dir):
     )
     out = embedding_near_dups(emb, dim=64, threshold=0.9, n_planes=6)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q(
+    "rolling_sigma_1h",
+    _hourly_cte()
+    + """
+    , r AS (
+      SELECT event_type, bucket_ts, avg_v,
+             CASE WHEN count(avg_v) OVER w >= 12 THEN stddev_samp(avg_v) OVER w END AS sigma
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+    SELECT event_type, bucket_ts,
+           round(first_value(sigma IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6) AS sigma
+    FROM r
+    """,
+)
+def rolling_sigma_1h(spark, sf_dir):
+    """W6: rolling sample std (ddof=1) with the reference's backfill of the
+    first w-1 rows (moving_average.py:79-86) — window frames both engines."""
+    from pyspark.sql import Window
+
+    hourly = _hourly_df(spark, sf_dir)
+    roll = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(-11, 0)
+    fwd = Window.partitionBy("event_type").orderBy("bucket_ts").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    cnt = F.count("avg_v").over(roll)
+    sigma = F.when(cnt >= 12, F.stddev_samp("avg_v").over(roll))
+    out = hourly.withColumn("sigma", sigma).withColumn(
+        "sigma", F.first("sigma", ignorenulls=True).over(fwd)
+    )
+    return out.select("event_type", "bucket_ts", F.round("sigma", 6).alias("sigma"))
