@@ -192,3 +192,49 @@ def test_anomaly_fixture_recovery(spark):
     epred = np.where(epdf["score"].values > th, 1, -1)
     etp = int(((epred == 1) & (truth == 1)).sum())
     assert etp > 0.2 * n_anom
+
+
+@pytest.mark.parametrize("w,rps", [(3, 5), (7, 7), (12, 4), (20, 100), (5, 1)])
+def test_zscore_halo_agreement_config_sweep(spark, rollup_1m, w, rps):
+    """Halo slicing must be exact for ANY (window, slice) combination,
+    including slices smaller than the halo and slice length 1."""
+    a = (
+        sliding_zscore(rollup_1m, ["source"], "bucket_ts", "mean", w=w)
+        .select("source", "bucket_ts", "score")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    b = (
+        sliding_zscore_pandas(rollup_1m, ["source"], "bucket_ts", "mean", w=w, rows_per_slice=rps)
+        .select("source", "bucket_ts", "score")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    na, nb = a["score"].isna().values, b["score"].isna().values
+    assert (na == nb).all()
+    assert np.allclose(a["score"].values[~na], b["score"].values[~nb], rtol=1e-9)
+
+
+@pytest.mark.parametrize("alpha,rps", [(0.5, 3), (0.05, 17), (0.9, 1)])
+def test_ewma_chunk_agreement_config_sweep(spark, rollup_1m, alpha, rps):
+    exact = (
+        ewma_residual(rollup_1m, ["source"], "bucket_ts", "mean", alpha=alpha)
+        .select("source", "bucket_ts", "ewma_level")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    chunked = (
+        ewma_residual_chunked(
+            rollup_1m, ["source"], "bucket_ts", "mean", alpha=alpha, rows_per_slice=rps
+        )
+        .select("source", "bucket_ts", "ewma_level")
+        .toPandas()
+        .sort_values(["source", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(exact) == len(chunked)
+    assert np.allclose(exact["ewma_level"].values, chunked["ewma_level"].values, rtol=1e-10)
