@@ -101,7 +101,6 @@ def cosine_topk_ivf(
     exact limit.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import array_to_vector
 
     c = corpus.select(
