@@ -48,19 +48,60 @@ def fft_bandstop_residual(
     return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
 
 
+def _solve_sym_penta(
+    a0: np.ndarray, a1: np.ndarray, a2: np.ndarray, y: np.ndarray
+) -> np.ndarray:
+    """O(n) LDLᵀ solve of a symmetric positive-definite PENTAdiagonal system
+    (main diag a0[n], first off-diag a1[n-1], second off-diag a2[n-2]).
+    No pivoting needed: SPD. Replaces the round-1 dense n×n solve (O(n²)
+    memory / O(n³) time — 8 TB of matrix at 1M points); the reference itself
+    solves sparsely (statistication/hp.py:18-24 spdiags)."""
+    n = len(y)
+    d = np.empty(n)
+    l1 = np.zeros(n)  # L[i, i-1]
+    l2 = np.zeros(n)  # L[i, i-2]
+    d[0] = a0[0]
+    l1[1] = a1[0] / d[0]
+    d[1] = a0[1] - l1[1] * l1[1] * d[0]
+    for i in range(2, n):
+        l2[i] = a2[i - 2] / d[i - 2]
+        l1[i] = (a1[i - 1] - l2[i] * d[i - 2] * l1[i - 1]) / d[i - 1]
+        d[i] = a0[i] - l2[i] * l2[i] * d[i - 2] - l1[i] * l1[i] * d[i - 1]
+    z = np.empty(n)  # forward: L z = y
+    z[0] = y[0]
+    z[1] = y[1] - l1[1] * z[0]
+    for i in range(2, n):
+        z[i] = y[i] - l1[i] * z[i - 1] - l2[i] * z[i - 2]
+    z /= d
+    x = np.empty(n)  # back: Lᵀ x = z
+    x[n - 1] = z[n - 1]
+    x[n - 2] = z[n - 2] - l1[n - 1] * x[n - 1]
+    for i in range(n - 3, -1, -1):
+        x[i] = z[i] - l1[i + 1] * x[i + 1] - l2[i + 2] * x[i + 2]
+    return x
+
+
 def _hp_filter(y: np.ndarray, lamb: float) -> np.ndarray:
     """Hodrick-Prescott trend: minimize ||y−t||² + λ||D²t||² ⇒
     t = (I + λ DᵀD)⁻¹ y, with D the 2nd-difference operator (hp.py:18-24).
-    scipy-free: dense banded solve via numpy (series are kernel-group sized).
+    scipy-free banded O(n) solve: A = I + λDᵀD is SPD pentadiagonal.
     """
     n = len(y)
     if n < 3:
         return y.copy()
-    D = np.zeros((n - 2, n))
-    for i in range(n - 2):
-        D[i, i], D[i, i + 1], D[i, i + 2] = 1.0, -2.0, 1.0
-    A = np.eye(n) + lamb * (D.T @ D)
-    return np.linalg.solve(A, y)
+    m = n - 2
+    # DᵀD diagonals from the [1, -2, 1] second-difference stencil
+    dd0 = np.zeros(n)
+    dd0[0:m] += 1.0
+    dd0[1 : m + 1] += 4.0
+    dd0[2 : m + 2] += 1.0
+    dd1 = np.zeros(n - 1)
+    dd1[0:m] += -2.0
+    dd1[1 : m + 1] += -2.0
+    dd2 = np.full(n - 2, 1.0)
+    return _solve_sym_penta(
+        1.0 + lamb * dd0, lamb * dd1, lamb * dd2, np.asarray(y, dtype=np.float64)
+    )
 
 
 def hp_residual_mad(
@@ -133,6 +174,11 @@ def epsilon_by_f1(
         F.sum((~pred & truth).cast("long")).alias("fn"),
     )
     scored = with_prf_columns(agg)
+    # deterministic tiebreak: adjacent epsilon steps often yield identical
+    # confusion matrices (tied f1) — keep the LOWEST epsilon among the max-f1
+    # rows, matching the reference's first-best strict-> scan
+    # (gaussian.py:113-125). max_by on (f1, -epsilon) is order-independent.
     return scored.groupBy(*keys).agg(
-        F.max_by("epsilon", F.col("f1")).alias("epsilon"), F.max("f1").alias("f1")
+        F.max_by("epsilon", F.struct(F.col("f1"), (-F.col("epsilon")).alias("_ne"))).alias("epsilon"),
+        F.max("f1").alias("f1"),
     )

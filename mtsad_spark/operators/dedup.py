@@ -111,11 +111,12 @@ def jaccard_pairs(
     """
     sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingled.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("shingle_b"))
-    # candidate PAIRS are orders of magnitude smaller than the shingle table
-    # → broadcast them for the first hop. The joined (pairs × shingles-of-a)
-    # frame is NOT pair-sized (it carries every shingle of every id_a), so the
-    # second hop stays a shuffled hash join keyed by the shingle value.
-    cand_a = F.broadcast(pairs).join(sa, "id_a")
+    # NO broadcast hints anywhere here: on duplicate-heavy web crawls the LSH
+    # candidate-pair set is O(corpus) or worse — billions of rows is not a
+    # broadcast. Every hop is a shuffled hash/sort-merge equi-join; AQE still
+    # promotes genuinely small sides to broadcast at runtime from measured
+    # stage sizes, which is the only safe way to make that call.
+    cand_a = pairs.join(sa, "id_a")
     inter = (
         cand_a.join(
             sb, (F.col("id_b") == F.col("_idb")) & (F.col("shingle") == F.col("shingle_b"))
@@ -123,16 +124,13 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_inter"))
     )
-    # sizes is one row per DOC (not broadcastable at corpus scale); the
-    # pair-sized side carries the broadcast hint at every hop instead
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    base = pairs.join(F.broadcast(inter), ["id_a", "id_b"], "left").na.fill({"n_inter": 0})
-    out = (
-        F.broadcast(base)
-        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+    base = pairs.join(inter, ["id_a", "id_b"], "left").na.fill({"n_inter": 0})
+    out = base.join(
+        sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a"
     )
     out = (
-        F.broadcast(out)
+        out
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn(
             "jaccard",

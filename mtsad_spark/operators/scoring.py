@@ -77,19 +77,59 @@ def sliding_zscore(
     )
 
 
+def _global_row_numbers(
+    df: DataFrame, keys: list[str], order_col: str, coarse_width: float = 3600.0
+) -> DataFrame:
+    """Exact per-key 0-based row numbers WITHOUT an unsalted per-key window
+    over the raw rows (the round-1 scale-killer: ``row_number() over
+    (partitionBy(key))`` funnels every row of a hot key through one task).
+
+    Composition trick: bucket rows by the order value (pure expression, no
+    shuffle), count rows per (key, bucket) — an algebraic map-side-combined
+    aggregate, so the only per-key sequential window runs over the tiny
+    per-bucket COUNT frame (rows/coarse_width per key), never the rows.
+    Global _rn = bucket_start_offset + row_number within (key, bucket), and
+    the within-bucket window is partitioned by (key, bucket) — parallel.
+
+    Exact for irregular/gappy series (unlike deriving slice ids from the
+    order value directly, which under-fills row-count halos across gaps).
+    ``order_col`` must be numeric or timestamp (cast to double = epoch
+    seconds) and a total order per key — ties make row_number arrival-order
+    dependent, as with any Spark window.
+    """
+    ord_d = F.col(order_col).cast("double")
+    b = df.withColumn("_cb", F.floor(ord_d / F.lit(coarse_width)).cast("long"))
+    counts = b.groupBy(*keys, "_cb").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).drop("_n")
+    wloc = Window.partitionBy(*keys, "_cb").orderBy(order_col)
+    return (
+        b.join(offsets, [*keys, "_cb"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(wloc) - 1)
+        .drop("_cb", "_off")
+    )
+
+
 def _slice_with_halo(
     df: DataFrame, keys: list[str], order_col: str, rows_per_slice: int, halo: int
 ) -> DataFrame:
     """Assign each row a (key, slice) and replicate the trailing ``halo`` rows
     of slice s into slice s+1 (SURVEY.md §4.2 halo-row construction).
 
-    Slice index comes from ``row_number`` per key — deterministic given a
-    total order (callers must pass a tie-broken order_col). The union'd halo
-    copies are marked ``_halo=true`` and dropped from the output after
-    scoring; they exist only to warm up the finite window.
+    Slice index comes from the SCALABLE row numbering
+    (:func:`_global_row_numbers` — per-bucket count composition, no unsalted
+    per-key window over raw rows) — deterministic given a total order
+    (callers must pass a tie-broken order_col). The union'd halo copies are
+    marked ``_halo=true`` and dropped from the output after scoring; they
+    exist only to warm up the finite window.
     """
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    base = df.withColumn("_rn", F.row_number().over(w) - 1)
+    base = _global_row_numbers(df, keys, order_col)
     base = base.withColumn("_slice", (F.col("_rn") / rows_per_slice).cast("int"))
     own = base.withColumn("_halo", F.lit(False))
     # a halo longer than one slice must replicate into EVERY slice whose

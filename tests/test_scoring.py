@@ -238,3 +238,49 @@ def test_ewma_chunk_agreement_config_sweep(spark, rollup_1m, alpha, rps):
     )
     assert len(exact) == len(chunked)
     assert np.allclose(exact["ewma_level"].values, chunked["ewma_level"].values, rtol=1e-10)
+
+
+def test_chunked_scorers_deterministic_across_parallelism(tmp_path):
+    """VERDICT r01 #2 'Done' condition: the value-composed slicer's outputs
+    are byte-identical at two parallelism levels (separate JVMs — getOrCreate
+    would otherwise reuse one session)."""
+    import subprocess
+    import sys
+
+    script = r"""
+import sys, hashlib
+sys.path.insert(0, "/root/repo")
+from mtsad_spark.session import get_spark
+from mtsad_spark.fixtures import sequences
+from mtsad_spark.operators.rollup import rollup_tiers
+from mtsad_spark.operators.scoring import ewma_residual_chunked, sliding_zscore_pandas
+
+master, shuffle = sys.argv[1], int(sys.argv[2])
+spark = get_spark("det-probe", master=master, shuffle_partitions=shuffle,
+                  extra_confs={"spark.sql.adaptive.enabled": "false"})
+spark.sparkContext.setLogLevel("ERROR")
+seq = sequences(spark, n_rows=8000, n_minutes=240, with_tokens=False)
+r1m, _ = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
+base = r1m["1m"].select("source", "bucket_ts", "mean").cache()
+z = sliding_zscore_pandas(base, ["source"], "bucket_ts", "mean", w=10, rows_per_slice=23)
+e = ewma_residual_chunked(base, ["source"], "bucket_ts", "mean", alpha=0.2, rows_per_slice=40)
+h = hashlib.sha256()
+for df, cols in ((z, ["score"]), (e, ["ewma_level", "resid"])):
+    pdf = df.select("source", "bucket_ts", *cols).toPandas().sort_values(
+        ["source", "bucket_ts"]).reset_index(drop=True)
+    for c in cols:
+        h.update(pdf[c].to_numpy(dtype="float64").tobytes())
+print("HASH", h.hexdigest())
+"""
+    p = tmp_path / "det_probe.py"
+    p.write_text(script)
+    hashes = []
+    for master, shuffle in (("local[2]", 2), ("local[4]", 8)):
+        r = subprocess.run(
+            [sys.executable, str(p), master, str(shuffle)],
+            capture_output=True, text=True, cwd="/root/repo", timeout=420,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [l for l in r.stdout.splitlines() if l.startswith("HASH")][0]
+        hashes.append(line.split()[1])
+    assert hashes[0] == hashes[1], hashes
