@@ -64,26 +64,45 @@ class RollupPipeline:
             "ewma_alpha": ewma_alpha,
         }
 
+    def _fs_path(self, p: str):
+        """(Hadoop FileSystem, Path) for any storage scheme (file://, hdfs://,
+        s3a://) — the manifest guard must work wherever TableProvider writes,
+        not just on the local filesystem."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, path
+
     def _check_manifest(self, resume: bool) -> None:
         """Checkpoints are only valid for the config that produced them: a
         resume with different parameters must fail loudly, not silently serve
-        stale outputs."""
+        stale outputs. Routed through the Hadoop FS API so the guard holds on
+        non-local backends too (round-1 version used os.path → silently
+        no-op'd on hdfs://, serving stale checkpoints)."""
         import json
-        import os
 
-        path = os.path.join(self.tables.base_dir, "_manifest.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                stored = json.load(f)
+        fs, path = self._fs_path(f"{self.tables.base_dir}/_manifest.json")
+        if fs.exists(path):
+            stream = fs.open(path)
+            try:
+                stored = json.loads(
+                    self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                        stream, "UTF-8"
+                    )
+                )
+            finally:
+                stream.close()
             if resume and stored != self.config:
                 raise ValueError(
                     f"checkpoint dir {self.tables.base_dir} was produced with "
                     f"different parameters ({stored} != {self.config}); use a "
                     "new output dir or resume=False"
                 )
-        os.makedirs(self.tables.base_dir, exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(self.config, f)
+        out = fs.create(path, True)
+        try:
+            out.write(bytearray(json.dumps(self.config), "utf-8"))
+        finally:
+            out.close()
 
     # ------------------------------------------------------------- plumbing
     def _stage(self, name: str, build, partition_by: list[str] | None = None, resume: bool = True) -> DataFrame:

@@ -47,15 +47,25 @@ def read_mts_table(
 
 def read_float_series(spark: SparkSession, path: str, value_name: str = "value") -> DataFrame:
     """S3: whitespace text of one float per line (np.loadtxt analog), with a
-    file-order row index for positional semantics."""
+    file-order row index for positional semantics.
+
+    Ordering: (file name, in-file offset). A single file's splits are planned
+    in byte-offset order, so ``monotonically_increasing_id`` follows offset
+    within a file; across a directory/glob Spark packs files by SIZE, so the
+    file name must lead the sort key or the index silently scrambles.
+    NOTE the global index needs one total-order window (single task) — this
+    reader is for the reference's fixture-sized series inputs
+    (statistication/moving_average.py:145), not a 100 TB scan path; at scale
+    keep per-file indexes (drop the window, key by (_file, idx)).
+    """
     from pyspark.sql import Window
 
     df = spark.read.text(path).select(
-        F.trim(F.col("value")).alias("_raw")
+        F.input_file_name().alias("_file"),
+        F.monotonically_increasing_id().alias("_mid"),
+        F.trim(F.col("value")).alias("_raw"),
     ).filter(F.length("_raw") > 0)
     df = df.withColumn(value_name, F.col("_raw").cast("double")).drop("_raw")
-    # np.loadtxt preserves file order; a single text file scan is ordered
-    # within partitions — stamp an explicit index for downstream windows
     return df.withColumn(
-        "idx", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
-    )
+        "idx", F.row_number().over(Window.orderBy("_file", "_mid")) - 1
+    ).drop("_file", "_mid")

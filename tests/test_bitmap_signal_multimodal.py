@@ -255,3 +255,70 @@ def test_hp_banded_solve_runs_at_100k_points():
     assert np.allclose(t + lamb * dtd, y, rtol=1e-7, atol=1e-7)
     # trend is smooth: residual variance well below signal variance
     assert (y - t).std() < y.std()
+
+
+def test_incremental_bitmap_counts_match_full_recount():
+    """The O(1)-ish sliding count maintenance must be bitwise-identical to
+    recomputing each chunk's bitmap from scratch (paper semantics kept)."""
+    from mtsad_spark.functions.tsbitmap import (
+        _chunk_bitmap,
+        _ngram_codes,
+        _sax_symbols,
+        bitmap_scores_series,
+    )
+
+    rng = np.random.RandomState(7)
+    for n, fw, bins, level, lagw, leadw in (
+        (400, 20, 5, 3, 96, 48),
+        (300, 24, 4, 2, 50, 53),   # tail shorter than level on one side
+        (250, 16, 6, 1, 40, 30),   # level=1: contiguous pattern, merged runs
+        (222, 30, 3, 3, 61, 37),   # ragged sizes
+    ):
+        vals = rng.randn(n).cumsum()
+        got, _ = bitmap_scores_series(vals, fw, bins, level, lagw, leadw, q=99)
+        sym = _sax_symbols(vals.astype(np.float64), fw, bins)
+        base = bins + 2
+        space = base**level
+        codes = _ngram_codes(sym, level, base)
+        want = np.zeros(n)
+        for i in range(lagw, n - leadw + 1):
+            bl = _chunk_bitmap(codes, i - lagw, lagw, fw, level, space)
+            bf = _chunk_bitmap(codes, i, leadw, fw, level, space)
+            d = bl - bf
+            want[i] = float(d @ d)
+        assert (got == want).all(), (n, fw, bins, level, lagw, leadw)
+
+
+def test_supervised_bitmap_train_binning_is_global_window():
+    """Reference fit parity (ADVICE r01): fit discretizes the WHOLE train
+    series with one global min/max window (tsbitmapper.py:286 discretize),
+    not per-feature-window. A train series whose windows have wildly
+    different local ranges makes the two binnings diverge — the reference
+    bitmap must come from the global binning."""
+    from mtsad_spark.functions.tsbitmap import (
+        _chunk_bitmap,
+        _ngram_codes,
+        _sax_symbols,
+        bitmap_scores_supervised_series,
+    )
+
+    rng = np.random.RandomState(8)
+    # first half tiny amplitude, second half huge: per-window binning would
+    # spread both halves over all bins; global binning pins half 1 low
+    train = np.r_[rng.rand(100) * 0.01, rng.rand(100) * 100 + 50]
+    test = rng.rand(150) * 100
+    fw, bins, level, leadw = 25, 5, 3, 40
+    scores, _ = bitmap_scores_supervised_series(train, test, fw, bins, level, leadw, q=95)
+    base = bins + 2
+    space = base**level
+    # oracle: global-window train binning + feature-window counting
+    tr_sym = _sax_symbols(train.astype(np.float64), len(train), bins)
+    ref = _chunk_bitmap(_ngram_codes(tr_sym, level, base), 0, len(tr_sym), fw, level, space)
+    te_sym = _sax_symbols(test.astype(np.float64), fw, bins)
+    te_codes = _ngram_codes(te_sym, level, base)
+    want = np.zeros(len(test))
+    for i in range(1, len(test) - leadw + 1):
+        bf = _chunk_bitmap(te_codes, i, leadw, fw, level, space)
+        d = ref - bf
+        want[i] = float(d @ d)
+    assert (scores == want).all()
