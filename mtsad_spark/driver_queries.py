@@ -40,10 +40,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {k: v[0] for k, v in _REG.items()}
+    from mtsad_spark.fixture_cache import ensure_seqfix
+
+    ensure_seqfix()  # lazy: shared-parquet fixtures must exist before either
+    return {k: v[0] for k, v in _REG.items()}  # engine evaluates (see module)
 
 
 def oracle_sql() -> dict[str, str]:
+    from mtsad_spark.fixture_cache import ensure_seqfix
+
+    ensure_seqfix()
     return {k: v[1] for k, v in _REG.items() if v[1] is not None}
 
 
@@ -876,6 +882,49 @@ def minhash_near_dups_docs(spark, sf_dir):
     return minhash_dedup(docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5)
 
 
+@_q(
+    "jaccard_all_pairs_docs",
+    r"""
+    WITH toks AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+                  FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+                FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+                WHERE len(w) > 0),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+      SELECT id_a, id_b, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                 JOIN sizes sb ON inter.id_b = sb.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def jaccard_all_pairs_docs(spark, sf_dir):
+    """Exact-Jaccard VERIFY stage of the near-dup pipeline, oracled: candidate
+    pairs = every pair sharing ≥1 shingle (exhaustive, so no LSH recall gap
+    can desync the two engines), verified by operators.dedup.jaccard_pairs —
+    the exact code path minhash_dedup uses after banding. Exhaustive
+    candidates are fixture-scale only; at corpus scale the LSH bands bound
+    the pair space (minhash_near_dups_docs)."""
+    from mtsad_spark.operators.dedup import jaccard_pairs, word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3).persist()
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    out = jaccard_pairs(pairs, sh, "doc_id", threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
 @_q("simhash_docs", None)
 def simhash_docs(spark, sf_dir):
     from mtsad_spark.operators.dedup import simhash
@@ -884,8 +933,29 @@ def simhash_docs(spark, sf_dir):
     return simhash(docs, "doc_id", "text")
 
 
-@_q("lang_id_docs", None)
+@_q(
+    "lang_id_docs",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\b(der|die|und|ist|das)\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|que|de)\b')) AS s_es
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM s
+    """,
+)
 def lang_id_docs(spark, sf_dir):
+    """Argmax-of-marker-counts heuristic; tie semantics = FIRST language in
+    [en, de, fr, es] order achieving the max (with_lang_id replaces only on
+    strict >), which the oracle's cascaded >= CASE reproduces exactly."""
     from mtsad_spark.functions.text import with_lang_id
 
     docs = _t(spark, sf_dir, "documents")
@@ -903,8 +973,30 @@ def ann_lsh_embeddings(spark, sf_dir):
     return cosine_topk_lsh(emb, queries, dim=64, k=3, n_planes=6)
 
 
-@_q("ewma_scores_1h", None)
+@_q(
+    "ewma_scores_1h",
+    _hourly_cte()
+    + """
+    , r AS (SELECT event_type, bucket_ts, avg_v,
+                   row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS rn
+            FROM hourly),
+    lvl AS (SELECT a.event_type, a.bucket_ts, a.avg_v, a.rn,
+                   sum(CASE WHEN b.rn = 0 THEN power(0.8, a.rn) * b.avg_v
+                            ELSE 0.2 * power(0.8, a.rn - b.rn) * b.avg_v END) AS ewma_level
+            FROM r a JOIN r b ON a.event_type = b.event_type AND b.rn <= a.rn
+            GROUP BY 1, 2, 3, 4)
+    SELECT event_type, bucket_ts, round(ewma_level, 6) AS ewma_level,
+           round(coalesce(abs(avg_v - lag(ewma_level) OVER (
+               PARTITION BY event_type ORDER BY bucket_ts)), 0.0), 6) AS score
+    FROM lvl
+    """,
+)
 def ewma_scores_1h(spark, sf_dir):
+    """W10 EWMA residual, ORACLED via the closed form of the adjust=False
+    recursion: level_t = (1-α)^t·x_0 + α·Σ_{j<t}(1-α)^j·x_{t-j} — a
+    rollup-sized self-join sum DuckDB can evaluate. The recursion and the
+    closed-form sum agree to ~1e-11 relative (n·eps accumulation), four
+    orders below the 1e-6 rounding grid, so round(6) matches."""
     from mtsad_spark.operators.scoring import ewma_residual
 
     hourly = _hourly_df(spark, sf_dir)
@@ -915,18 +1007,40 @@ def ewma_scores_1h(spark, sf_dir):
     )
 
 
-@_q("sequences_pipeline_rollup", None)
+@_q(
+    "sequences_pipeline_rollup",
+    """
+    SELECT source, '1h' AS tier, date_trunc('hour', ingest_ts) AS bucket_ts,
+           count(n_tok) AS cnt,
+           CAST(sum(n_tok) AS BIGINT) AS sum_v,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(n_tok), 6) AS mean,
+           round(sqrt(greatest(
+               CAST(sum(CAST(n_tok AS BIGINT) * n_tok) AS DOUBLE) / count(n_tok)
+               - (CAST(sum(n_tok) AS DOUBLE) / count(n_tok))
+                 * (CAST(sum(n_tok) AS DOUBLE) / count(n_tok)), 0.0)), 6) AS std,
+           CAST(min(n_tok) AS BIGINT) AS vmin, CAST(max(n_tok) AS BIGINT) AS vmax
+    FROM read_parquet('/root/repo/.fixture_cache/seqfix.parquet') GROUP BY 1, 3
+    """,
+)
 def sequences_pipeline_rollup(spark, sf_dir):
-    """The north-star input shape end-to-end at test scale: synthesize the
-    tokenized sequences table, run the 3-tier rollup cascade, return the 1h
-    tier (deterministic — exercised for stability, oracled by pytest)."""
-    from mtsad_spark.fixtures import sequences
+    """The north-star input shape end-to-end at test scale: the shared-parquet
+    tokenized-sequences fixture (fixture_cache.py — identical bytes for both
+    engines) through the 3-tier rollup cascade; returns the 1h tier. The
+    oracle aggregates the raw parquet directly, so equality proves the
+    partial/final re-aggregation algebra. Exact long partials ⇒ mean/std are
+    one deterministic float expression over exact integers (rounded 6 for the
+    cross-engine hash)."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.rollup import rollup_tiers
 
-    n = 20_000 if "0.01" in sf_dir else 5_000
-    seq = sequences(spark, n_rows=n, n_minutes=240, with_tokens=False)
+    seq = spark.read.parquet(ensure_seqfix())
     finalized, _ = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
-    return finalized["1h"]
+    h = finalized["1h"]
+    return h.select(
+        "source", "tier", "bucket_ts", "cnt", "sum_v",
+        F.round("mean", 6).alias("mean"), F.round("std", 6).alias("std"),
+        "vmin", "vmax",
+    )
 
 
 # =====================================================================
@@ -994,16 +1108,56 @@ def hp_residual_1h(spark, sf_dir):
     )
 
 
-@_q("epsilon_f1_events", None)
+@_q(
+    "epsilon_f1_events",
+    """
+    WITH p AS (SELECT event_type, avg(value) AS mu, var_pop(value) AS var,
+                      quantile_cont(value, 0.1) AS p10
+               FROM events GROUP BY 1),
+         d AS (SELECT e.event_type,
+                      round(exp(-0.5 * ln(2 * pi() * p.var)
+                                - (e.value - p.mu) * (e.value - p.mu) / (2 * p.var)), 6) AS density,
+                      CASE WHEN e.value < p.p10 THEN 1 ELSE -1 END AS tag
+               FROM events e JOIN p USING (event_type)),
+         b AS (SELECT event_type, min(density) AS lo, max(density) AS hi FROM d GROUP BY 1),
+         steps AS (SELECT event_type, lo + i * ((hi - lo) / 200) AS epsilon
+                   FROM b, unnest(generate_series(1, 200)) AS t(i)),
+         a AS (SELECT d.event_type, s.epsilon,
+                      sum(CASE WHEN d.density < s.epsilon AND d.tag = 1 THEN 1 ELSE 0 END) AS tp,
+                      sum(CASE WHEN d.density < s.epsilon AND d.tag != 1 THEN 1 ELSE 0 END) AS fp,
+                      sum(CASE WHEN d.density >= s.epsilon AND d.tag = 1 THEN 1 ELSE 0 END) AS fn
+               FROM d JOIN steps s ON d.event_type = s.event_type
+               GROUP BY 1, 2),
+         f AS (SELECT event_type, epsilon, precision, recall,
+                      CASE WHEN precision + recall > 0
+                           THEN 2 * precision * recall / (precision + recall)
+                           ELSE 0.0 END AS f1
+               FROM (SELECT event_type, epsilon,
+                            CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
+                            CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END AS recall
+                     FROM a))
+    SELECT event_type, round(epsilon, 10) AS epsilon, round(f1, 6) AS f1 FROM (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY f1 DESC, epsilon ASC) AS rk FROM f)
+    WHERE rk = 1
+    """,
+)
 def epsilon_f1_events(spark, sf_dir):
     """A12: argmax-F1 density threshold; density from the per-type gaussian
-    fit (A13), truth = bottom-decile values."""
+    fit (A13), truth = bottom-decile values. Density is rounded to 6 BEFORE
+    the sweep on both sides: exp() differs by 1 ulp between JVM Math.exp and
+    libm, so unrounded min/max densities would shift every epsilon step;
+    from identical rounded densities the sweep arithmetic (matching float
+    association) and the integer confusion counts are bitwise-equal.
+    Tiebreak = lowest epsilon among max-f1 rows (reference first-best scan)."""
     from mtsad_spark.functions.signal import epsilon_by_f1
     from mtsad_spark.operators.stats import gaussian_density, gaussian_params
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     params = gaussian_params(ev, ["value"], keys=["event_type"])
-    dens = gaussian_density(ev, params, ["value"], keys=["event_type"])
+    dens = gaussian_density(ev, params, ["value"], keys=["event_type"]).withColumn(
+        "density", F.round("density", 6)
+    )
     p10 = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.1)).alias("p10"))
     lab = dens.join(F.broadcast(p10), "event_type").withColumn(
         "tag", F.when(F.col("value") < F.col("p10"), 1).otherwise(-1)
@@ -1220,14 +1374,25 @@ def distinct_users_1d(spark, sf_dir):
     )
 
 
-@_q("token_histogram", None)
+@_q(
+    "token_histogram",
+    """
+    SELECT source, CAST(floor(t / 50.0) AS INTEGER) AS bin, count(*) AS freq
+    FROM (SELECT source, unnest(tokens) AS t
+          FROM read_parquet('/root/repo/.fixture_cache/seqfix.parquet'))
+    GROUP BY 1, 2
+    """,
+)
 def token_histogram(spark, sf_dir):
     """input_hint array column at work: per-source token-id histogram over
-    1000 vocab bins via posexplode-free higher-order aggregation — tokens are
-    exploded ONCE, pre-bucketed in the array domain (JVM), then hash-agged."""
-    from mtsad_spark.fixtures import sequences
+    ~1000 vocab bins via posexplode-free higher-order aggregation — tokens
+    are exploded ONCE, pre-bucketed in the array domain (JVM), then
+    hash-agged. Reads the shared-parquet fixture so DuckDB unnest() oracles
+    the same bytes (tokens are non-negative, so int-cast truncation ==
+    floor)."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
 
-    seq = sequences(spark, n_rows=3_000, n_minutes=60, with_tokens=True)
+    seq = spark.read.parquet(ensure_seqfix())
     binned = seq.select(
         "source",
         F.explode(
@@ -1249,12 +1414,24 @@ def ivf_ann_embeddings(spark, sf_dir):
 
 @_q("embedding_near_dups", None)
 def embedding_near_dups_q(spark, sf_dir):
+    """The embeddings fixture is near-orthogonal random (max pairwise cosine
+    ~0.51 at sf0.01), so true near-dups are synthesized deterministically:
+    vec_id < 50 get a 2-decimal-rounded copy (cosine ≥ ~0.999 to its
+    original). Multi-table LSH (3 seeds × 8 planes) gives ≥0.999 recall at
+    that cosine; the exact-cosine verify keeps only ≥ 0.99."""
     from mtsad_spark.operators.similarity import embedding_near_dups
 
-    emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = embedding_near_dups(emb, dim=64, threshold=0.9, n_planes=6)
+    dup = emb.filter("vec_id < 50").select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: F.round(x, 2)).alias("embedding"),
+    )
+    corpus = emb.unionByName(dup)
+    out = embedding_near_dups(
+        corpus, dim=64, threshold=0.99, n_planes=8, n_tables=3
+    )
     return out.withColumn("cosine", F.round("cosine", 6))
 
 

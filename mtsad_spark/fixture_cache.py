@@ -1,0 +1,70 @@
+"""Shared-parquet fixture cache for driver-contract oracle queries.
+
+The driver compares each Spark query against DuckDB oracle SQL. Queries over
+the north-star tokenized-sequences shape (BASELINE.json input_hint) used to
+synthesize their input INSIDE Spark (fixtures.sequences), which DuckDB cannot
+see — leaving them `no_oracle`. This module materializes a deterministic
+sequences table ONCE as plain parquet (numpy + pyarrow, no Spark needed), so
+BOTH engines read the identical bytes and the queries become fully oracled.
+
+Generation is lazy (first access of queries()/oracle_sql() triggers it) and
+atomic (write to tmp + rename), so whichever side the driver evaluates first
+finds the file. Content is a pure function of (N_ROWS, N_MINUTES, SEED).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+CACHE_DIR = "/root/repo/.fixture_cache"
+SEQFIX_PATH = f"{CACHE_DIR}/seqfix.parquet"
+
+N_ROWS = 20_000
+N_MINUTES = 240
+SEED = 4242
+VOCAB = 50_257
+EPOCH_S = 1_704_067_200  # 2024-01-01 00:00:00 UTC
+SOURCES = ["web", "books", "code", "wiki", "forums"]
+SOURCE_P = [0.60, 0.15, 0.10, 0.10, 0.05]  # web-heavy skew
+
+
+def ensure_seqfix() -> str:
+    """Write the tokenized-sequences fixture parquet if absent; return path."""
+    if os.path.exists(SEQFIX_PATH):
+        return SEQFIX_PATH
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(SEED)
+    n = N_ROWS
+    source = rng.choice(np.array(SOURCES, dtype=object), size=n, p=SOURCE_P)
+    n_tok = (32 + rng.randint(0, 480, size=n)).astype(np.int32)
+    spike = (source == "web") & (rng.randint(0, 100, size=n) == 0)
+    n_tok = np.where(spike, n_tok * 4, n_tok).astype(np.int32)
+    minute = (np.arange(n, dtype=np.int64) % N_MINUTES)
+    # deterministic gaps: 'code' rows on minutes m % 7 == 3 shift to m + 1
+    gap = (source == "code") & (minute % 7 == 3)
+    minute = np.where(gap, minute + 1, minute)
+    jitter = rng.randint(0, 60, size=n).astype(np.int64)
+    ingest_us = (EPOCH_S + minute * 60 + jitter) * 1_000_000
+    doc_id = np.array([f"doc-{i:010d}" for i in range(n)], dtype=object)
+    flat = rng.randint(0, VOCAB, size=int(n_tok.sum()), dtype=np.int64).astype(np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(flat, type=pa.int32()))
+    table = pa.table(
+        {
+            "doc_id": pa.array(doc_id, type=pa.string()),
+            "tokens": tokens,
+            "n_tok": pa.array(n_tok, type=pa.int32()),
+            "source": pa.array(source, type=pa.string()),
+            "ingest_ts": pa.array(ingest_us, type=pa.timestamp("us")),
+        }
+    )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{SEQFIX_PATH}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, SEQFIX_PATH)
+    return SEQFIX_PATH

@@ -262,3 +262,55 @@ def test_dropin_zero_drops_rows(spark):
     assert len(counts) < 2000
     # and no row is duplicated more than factor_max-1 times
     assert counts["count"].max() <= 9
+
+
+def test_multi_table_lsh_raises_near_dup_recall_above_090(spark):
+    """VERDICT r01 #10 done-condition: union over independent plane seeds
+    lifts near-dup recall ≥ 0.9 on clustered data (single-table at the same
+    plane count is documented ~0.6-0.9)."""
+    import pandas as pd
+
+    from mtsad_spark.operators.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(21)
+    base = rng.randn(50, 16)
+    near = base + rng.randn(50, 16) * 0.01
+    emb = np.vstack([base, rng.randn(80, 16), near])
+    ids = list(range(50)) + list(range(50, 130)) + list(range(1000, 1050))
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, e)) for e in emb]})
+    df = spark.createDataFrame(pdf)
+    out = embedding_near_dups(
+        df, dim=16, threshold=0.98, n_planes=8, n_tables=4
+    ).toPandas()
+    got = {(a, b) for a, b in zip(out["id_a"], out["id_b"])}
+    expected = {(i, i + 1000) for i in range(50)}
+    assert len(got & expected) >= 0.9 * len(expected), len(got & expected)
+    # precision stays exact (verify step): every reported pair truly qualifies
+    norms = np.linalg.norm(emb, axis=1)
+    id2row = {v: i for i, v in enumerate(ids)}
+    for a, b in got:
+        ia, ib = id2row[a], id2row[b]
+        cos = emb[ia] @ emb[ib] / (norms[ia] * norms[ib])
+        assert cos >= 0.98 - 1e-9
+
+
+def test_multi_table_lsh_ann_recall_above_090(spark):
+    """Multi-table cosine_topk_lsh recall@k ≥ 0.9 on clustered vectors vs the
+    brute-force ground truth."""
+    import pandas as pd
+
+    from mtsad_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_lsh
+
+    rng = np.random.RandomState(22)
+    centers = rng.randn(10, 16) * 3
+    vecs = np.vstack([c + rng.randn(30, 16) * 0.3 for c in centers])
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    q = df.filter("vec_id % 60 = 0")
+    truth = cosine_topk_bruteforce(df, q, k=5).toPandas()
+    got = cosine_topk_lsh(df, q, dim=16, k=5, n_planes=8, n_tables=6).toPandas()
+    t_pairs = {(r.query_id, r.neighbor_id) for r in truth.itertuples()}
+    g_pairs = {(r.query_id, r.neighbor_id) for r in got.itertuples()}
+    assert len(t_pairs & g_pairs) >= 0.9 * len(t_pairs), (len(t_pairs & g_pairs), len(t_pairs))
