@@ -39,17 +39,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def queries() -> dict[str, QueryFn]:
-    from mtsad_spark.fixture_cache import ensure_seqfix
+def _ensure_fixtures() -> None:
+    from mtsad_spark.fixture_cache import ensure_arff_fixture, ensure_seqfix
 
-    ensure_seqfix()  # lazy: shared-parquet fixtures must exist before either
-    return {k: v[0] for k, v in _REG.items()}  # engine evaluates (see module)
+    ensure_seqfix()  # lazy: shared fixtures must exist before either engine
+    ensure_arff_fixture()  # evaluates (see fixture_cache module docstring)
+
+
+def queries() -> dict[str, QueryFn]:
+    _ensure_fixtures()
+    return {k: v[0] for k, v in _REG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from mtsad_spark.fixture_cache import ensure_seqfix
-
-    ensure_seqfix()
+    _ensure_fixtures()
     return {k: v[1] for k, v in _REG.items() if v[1] is not None}
 
 
@@ -1433,6 +1436,71 @@ def embedding_near_dups_q(spark, sf_dir):
         corpus, dim=64, threshold=0.99, n_planes=8, n_tables=3
     )
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q(
+    "arff_scan_mts2",
+    """
+    SELECT t, AF1, AF2, AF3, AF4, CAST(tag AS INTEGER) AS tag
+    FROM read_parquet('/root/repo/.fixture_cache/eeg_fixture_expected.parquet')
+    """,
+)
+def arff_scan_mts2(spark, sf_dir):
+    """S4 ARFF scan → MTS² frame. The oracle parquet is produced by an
+    INDEPENDENT pandas re-implementation of the reference's arff_to_mtss_df
+    (fixture_cache.ensure_arff_fixture), so this cross-checks the whole
+    parse → type → tag-encode path, not just parquet IO."""
+    from mtsad_spark.fixture_cache import ensure_arff_fixture
+    from mtsad_spark.sources.arff_reader import arff_to_mts2
+
+    arff_path, _ = ensure_arff_fixture()
+    out = arff_to_mts2(spark, arff_path, tag_anomaly=1)
+    return out.select("t", "AF1", "AF2", "AF3", "AF4", F.col("tag").cast("int").alias("tag"))
+
+
+@_q("ensemble_stacking_1h", None)
+def ensemble_stacking_1h(spark, sf_dir):
+    """Second-stage stacking meta-learner (ensemble_stacking.py:81-129) over
+    two base scorers on the hourly rollup; ML fit is not SQL-expressible →
+    rows-only driver check (deterministic: positional split + LBFGS on
+    ordered input)."""
+    from mtsad_spark.operators.ensemble import stacking_ensemble
+    from mtsad_spark.operators.scoring import ewma_residual, sliding_zscore
+
+    hourly = _hourly_df(spark, sf_dir)
+    z = sliding_zscore(hourly, ["event_type"], "bucket_ts", "avg_v", w=24, k=2.0).select(
+        "event_type", "bucket_ts", "avg_v",
+        F.coalesce("score", F.lit(0.0)).alias("z_score"),
+    )
+    e = ewma_residual(hourly, ["event_type"], "bucket_ts", "avg_v", alpha=0.2).select(
+        "event_type", "bucket_ts", F.col("score").alias("ewma_score")
+    )
+    p90 = hourly.groupBy("event_type").agg(F.percentile("avg_v", F.lit(0.9)).alias("p90"))
+    meta = (
+        z.join(e, ["event_type", "bucket_ts"])
+        .join(F.broadcast(p90), "event_type")
+        .withColumn("tag", F.when(F.col("avg_v") > F.col("p90"), 1).otherwise(-1))
+    )
+    out = stacking_ensemble(
+        meta, "bucket_ts", ["z_score", "ewma_score"], "tag", keys=["event_type"]
+    )
+    return out.select("event_type", "bucket_ts", "tag", "tag_pred")
+
+
+@_q("media_decode_features", None)
+def media_decode_features(spark, sf_dir):
+    """Multimodal decode seam with REAL codecs: synth PNG/WAV payloads →
+    mapInPandas decode → pixel-histogram / audio-RMS features (video rows
+    exercise the documented stub fallback). Deterministic; no SQL oracle
+    (binary codecs)."""
+    from mtsad_spark.functions.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, n=60, real_codecs=True)
+    out = decode_features(media, n_features=8)
+    return out.select(
+        "media_id", "kind", "width", "height", "n_bytes",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
 
 
 @_q(

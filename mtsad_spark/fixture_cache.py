@@ -20,6 +20,8 @@ import numpy as np
 
 CACHE_DIR = "/root/repo/.fixture_cache"
 SEQFIX_PATH = f"{CACHE_DIR}/seqfix.parquet"
+ARFF_PATH = f"{CACHE_DIR}/eeg_fixture.arff"
+ARFF_ORACLE_PATH = f"{CACHE_DIR}/eeg_fixture_expected.parquet"
 
 N_ROWS = 20_000
 N_MINUTES = 240
@@ -68,3 +70,46 @@ def ensure_seqfix() -> str:
     pq.write_table(table, tmp)
     os.replace(tmp, SEQFIX_PATH)
     return SEQFIX_PATH
+
+
+def ensure_arff_fixture() -> tuple[str, str]:
+    """Write (a) a deterministic EEG-style ARFF file and (b) the EXPECTED
+    MTS² parquet computed by an INDEPENDENT pandas re-implementation of the
+    reference's arff_to_mtss_df (eeg_eye_state.py:169-193): float features,
+    last nominal attr → int tag, non-anomaly → -1, positional index t.
+    The driver then cross-checks sources/arff_reader.arff_to_mts2 (a separate
+    parser + Spark code path) against these bytes."""
+    if os.path.exists(ARFF_PATH) and os.path.exists(ARFF_ORACLE_PATH):
+        return ARFF_PATH, ARFF_ORACLE_PATH
+    import pandas as pd
+
+    rng = np.random.RandomState(777)
+    n = 400
+    cols = {f"AF{i}": np.round(4000 + rng.randn(n) * 35, 2) for i in range(1, 5)}
+    tag_raw = (rng.rand(n) < 0.3).astype(int)
+    lines = ["@RELATION eeg_fixture"]
+    for c in cols:
+        lines.append(f"@ATTRIBUTE {c} NUMERIC")
+    lines.append("@ATTRIBUTE eyeDetection {0,1}")
+    lines.append("@DATA")
+    for i in range(n):
+        lines.append(
+            ",".join(f"{cols[c][i]:.2f}" for c in cols) + f",{tag_raw[i]}"
+        )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{ARFF_PATH}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, ARFF_PATH)
+    # independent expected frame: parse our own text the way pandas would
+    data = np.array(
+        [ln.split(",") for ln in lines[7:]], dtype=np.float64
+    )  # reference: np.array(dataset['data'], dtype=float)
+    pdf = pd.DataFrame(data, columns=[*cols.keys(), "tag"])
+    pdf["tag"] = pdf["tag"].astype(np.int64)
+    pdf.loc[pdf["tag"] != 1, "tag"] = -1
+    pdf.insert(0, "t", np.arange(n, dtype=np.int64))
+    tmp = f"{ARFF_ORACLE_PATH}.tmp.{os.getpid()}"
+    pdf.to_parquet(tmp)
+    os.replace(tmp, ARFF_ORACLE_PATH)
+    return ARFF_PATH, ARFF_ORACLE_PATH

@@ -1,0 +1,169 @@
+"""Pure-stdlib+numpy media codecs: PNG (RFC 2083) and WAV (RIFF PCM16).
+
+The sandbox ships no image/audio libraries, so multimodal.py's decode seam
+was a stub in round 1. These decoders are real: a PNG/WAV payload round-trips
+bit-exactly through decode∘encode. Coverage is the subset a training-data
+pipeline actually stores for fixtures — PNG 8-bit gray/RGB/RGBA without
+interlace, WAV 16-bit PCM — anything else raises and the caller falls back
+to the documented deterministic stub.
+
+Everything here is per-row kernel code executed INSIDE Arrow-batched
+``mapInPandas`` workers (functions/multimodal.py); nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def is_png(data: bytes) -> bool:
+    return bytes(data[:8]) == _PNG_SIG
+
+
+def is_wav(data: bytes) -> bool:
+    d = bytes(data[:12])
+    return len(d) >= 12 and d[:4] == b"RIFF" and d[8:12] == b"WAVE"
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG → (H, W, C) uint8. 8-bit depth, color types 0/2/6, no interlace."""
+    data = bytes(data)
+    if not is_png(data):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + body + crc
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _CHANNELS or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth} color={color} interlace={interlace})")
+    c = _CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1)
+        cur = _unfilter_line(line, prev, ftype, c)
+        out[y] = cur
+        prev = cur
+    return out.reshape(h, w, c)
+
+
+def _unfilter_line(line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
+    cur = line.astype(np.int32)
+    up = prev.astype(np.int32)
+    n = len(cur)
+    if ftype == 0:  # None
+        pass
+    elif ftype == 1:  # Sub
+        for i in range(bpp, n):
+            cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+    elif ftype == 2:  # Up
+        cur = (cur + up) & 0xFF
+    elif ftype == 3:  # Average
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            cur[i] = (cur[i] + ((a + up[i]) >> 1)) & 0xFF
+    elif ftype == 4:  # Paeth
+        for i in range(n):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = up[i]
+            cc = up[i - bpp] if i >= bpp else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            cur[i] = (cur[i] + pred) & 0xFF
+    else:
+        raise ValueError(f"unknown PNG filter {ftype}")
+    return cur.astype(np.uint8)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """(H, W) or (H, W, C) uint8 → PNG bytes (filter 0 rows, one IDAT)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    color = {1: 0, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    stride = w * c
+    flat = a.reshape(h, stride)
+    raw = b"".join(b"\x00" + flat[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE PCM16 → (sample_rate, (n_samples, n_channels) int16)."""
+    data = bytes(data)
+    if not is_wav(data):
+        raise ValueError("not a WAV")
+    pos, rate, n_ch, bits, pcm = 12, None, None, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (length,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + length]
+        if cid == b"fmt ":
+            fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV (fmt={fmt} bits={bits})")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    return rate, samples.reshape(-1, n_ch)
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """(n, ch) int16 → RIFF/WAVE PCM16 bytes."""
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n_ch = s.shape[1]
+    pcm = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * n_ch * 2, n_ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample of (H, W, C) uint8 — pure index arithmetic."""
+    h, w = img.shape[:2]
+    ys = (np.arange(new_h) * (h / new_h)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(new_w) * (w / new_w)).astype(np.int64).clip(0, w - 1)
+    return img[ys][:, xs]

@@ -51,19 +51,35 @@ MEDIA_SCHEMA = StructType(
 )
 
 
-def synth_media(spark, n: int = 200, seed: int = 42) -> DataFrame:
+def synth_media(spark, n: int = 200, seed: int = 42, real_codecs: bool = False) -> DataFrame:
     """Deterministic fake media table: payload bytes are a pure function of
-    (seed, media_id); metadata is consistent with the payload header."""
+    (seed, media_id); metadata is consistent with the payload header.
+
+    ``real_codecs=True`` emits REAL containers — images as valid PNGs, audio
+    as valid PCM16 WAVs (functions/codecs.py) — so the decode path runs the
+    actual codec instead of the stub. Video stays a fake container (no
+    pure-numpy video demuxer; that seam remains stubbed by design)."""
 
     def gen():
+        from .codecs import encode_png, encode_wav
+
         rng = np.random.RandomState(seed)
         for i in range(n):
             kind = ("image", "audio", "video")[i % 3]
             w, h = int(rng.randint(16, 256)), int(rng.randint(16, 256))
             dur = int(rng.randint(100, 10_000))
-            body = rng.bytes(int(rng.randint(64, 2048)))
-            payload = struct.pack(">II", w, h) + body
-            yield (i, kind, bytearray(payload), w, h, dur, "fake")
+            if real_codecs and kind == "image":
+                img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+                payload, codec = encode_png(img), "png"
+            elif real_codecs and kind == "audio":
+                rate = 8000
+                t = np.arange(int(rate * dur / 1000), dtype=np.float64)
+                wave = np.sin(2 * np.pi * (100 + (i % 20) * 10) * t / rate)
+                payload, codec = encode_wav(rate, (wave * 20000).astype("<i2")), "wav"
+            else:
+                body = rng.bytes(int(rng.randint(64, 2048)))
+                payload, codec = struct.pack(">II", w, h) + body, "fake"
+            yield (i, kind, bytearray(payload), w, h, dur, codec)
 
     return spark.createDataFrame(list(gen()), schema=MEDIA_SCHEMA)
 
@@ -83,18 +99,34 @@ _DECODE_SCHEMA = StructType(
 
 
 def _decode_kernel(payload: bytes, n_features: int = 8) -> np.ndarray:
-    """STUB decode/feature-extract. A real deployment replaces this with e.g.
-    PIL.Image.open + a vision tower. The fake is deterministic in the bytes:
-    md5 → seeded PRNG → unit-norm feature vector, so downstream similarity /
-    dedup plumbing is fully exercisable.
-    """
-    try:  # pragma: no cover - no codec libs in this container
-        import PIL.Image  # noqa: F401
+    """Decode/feature-extract behind one seam.
 
-        raise NotImplementedError("real codec path not wired in this sandbox")
-    except ImportError:
-        pass
-    digest = hashlib.md5(bytes(payload)).digest()
+    REAL paths (pure numpy/stdlib, functions/codecs.py): PNG payloads decode
+    to pixels → intensity-histogram features; WAV payloads decode to PCM →
+    per-segment RMS features. Both deterministic, unit-norm.
+    FALLBACK (unrecognized container, e.g. the fake video payloads): the
+    round-1 deterministic stub — md5 → seeded PRNG → unit-norm vector — so
+    pipelines over codec-less fixtures stay exercisable end-to-end.
+    A production deployment swaps richer codecs (PIL/ffmpeg) in here only.
+    """
+    from .codecs import decode_png, decode_wav, is_png, is_wav
+
+    b = bytes(payload)
+    if is_png(b):
+        img = decode_png(b)
+        gray = img[:, :, :3].mean(axis=2) if img.shape[2] >= 3 else img[:, :, 0]
+        hist, _ = np.histogram(gray, bins=n_features, range=(0.0, 256.0))
+        v = hist.astype(np.float64)
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+    if is_wav(b):
+        _, samples = decode_wav(b)
+        x = samples.astype(np.float64).mean(axis=1)
+        segs = np.array_split(x, n_features)
+        v = np.array([np.sqrt((s * s).mean()) if len(s) else 0.0 for s in segs])
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+    digest = hashlib.md5(b).digest()
     rng = np.random.RandomState(np.frombuffer(digest[:4], dtype=np.uint32)[0])
     v = rng.randn(n_features)
     return v / np.linalg.norm(v)
@@ -139,18 +171,28 @@ _RESIZE_SCHEMA = StructType(
 
 
 def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
-    """STUB resize: clamps metadata and re-stamps the payload header (a real
-    impl decodes + resamples pixels). Keeps the binary-in/binary-out batch
-    contract that a real kernel needs."""
+    """Resize: PNG payloads take the REAL path — decode, nearest-neighbor
+    resample, re-encode (functions/codecs.py). Unrecognized containers keep
+    the round-1 stub (clamp metadata, re-stamp the fake header) so the
+    binary-in/binary-out batch contract is exercised either way."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_png, encode_png, is_png, resize_nearest
+
         for pdf in batches:
             out_w, out_h, out_p = [], [], []
             for p, w, h in zip(pdf["payload"], pdf["width"], pdf["height"]):
-                scale = min(1.0, max_side / max(int(w), int(h)))
-                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
-                body = bytes(p)[8:]
-                out_p.append(struct.pack(">II", nw, nh) + body)
+                b = bytes(p)
+                if is_png(b):
+                    img = decode_png(b)
+                    ih, iw = img.shape[:2]
+                    scale = min(1.0, max_side / max(iw, ih))
+                    nw, nh = max(1, int(iw * scale)), max(1, int(ih * scale))
+                    out_p.append(encode_png(resize_nearest(img, nw, nh)))
+                else:
+                    scale = min(1.0, max_side / max(int(w), int(h)))
+                    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                    out_p.append(struct.pack(">II", nw, nh) + b[8:])
                 out_w.append(nw)
                 out_h.append(nh)
             yield pd.DataFrame(

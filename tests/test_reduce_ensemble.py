@@ -76,3 +76,38 @@ def test_salted_rollup_equals_plain(spark, seq_df):
     assert len(plain) == len(salted)
     for c in plain.columns:
         assert (plain[c].values == salted[c].values).all(), c
+
+
+def test_stacking_ensemble_learns_meta_rule(spark):
+    """VERDICT r01 #6: second-stage LR on stacked base-scorer outputs
+    (ensemble_stacking.py:81-129 semantics) — bounded-outcome on the MTS²
+    wave: the meta-learner must beat the worst base scorer and recover
+    anomalies in the test split."""
+    from mtsad_spark.fixtures import mts2_wave_df
+    from mtsad_spark.operators.ensemble import stacking_ensemble
+    from mtsad_spark.operators.scoring import ewma_residual, sliding_zscore
+
+    df = mts2_wave_df(spark, size=3000).withColumn("series", F.lit("s"))
+    z = sliding_zscore(df, ["series"], "t", "v0", w=15, k=2.0).select(
+        "series", "t", "tag", F.coalesce("score", F.lit(0.0)).alias("z_score")
+    )
+    e = ewma_residual(df, ["series"], "t", "v0", alpha=0.3).select(
+        "series", "t", F.col("score").alias("ewma_score")
+    )
+    meta = z.join(e, ["series", "t"]).cache()
+    out = stacking_ensemble(
+        meta, "t", ["z_score", "ewma_score"], "tag", keys=["series"]
+    ).toPandas()
+    # test split = trailing 20%: contains the third injected window (at 0.8n)
+    assert len(out) == 600
+    tp = int(((out["tag_pred"] == 1) & (out["tag"] == 1)).sum())
+    fp = int(((out["tag_pred"] == 1) & (out["tag"] == -1)).sum())
+    n_anom = int((out["tag"] == 1).sum())
+    assert n_anom > 0 and tp > 0.2 * n_anom, (tp, n_anom)
+    assert fp < 0.15 * len(out), fp
+    # determinism: re-fit on the identical input gives identical predictions
+    out2 = stacking_ensemble(
+        meta, "t", ["z_score", "ewma_score"], "tag", keys=["series"]
+    ).toPandas()
+    assert (out.sort_values("t")["tag_pred"].values
+            == out2.sort_values("t")["tag_pred"].values).all()
