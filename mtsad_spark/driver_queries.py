@@ -1177,6 +1177,31 @@ def rolling_hash_fingerprints_docs(spark, sf_dir):
     return rolling_hash_fingerprints(docs, "doc_id", "text", window=32, stride=16)
 
 
+@_q(
+    "substring_fingerprints_md5_docs",
+    r"""
+    SELECT doc_id, CAST(p / 16 AS INTEGER) AS pos,
+           md5(substr(norm, p + 1, 32)) AS fp
+    FROM (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm
+          FROM documents),
+         unnest(generate_series(0, greatest(length(norm) - 32, 0), 16)) AS t(p)
+    """,
+)
+def substring_fingerprints_md5_docs(spark, sf_dir):
+    """Winnowing-style stride-aligned substring fingerprints with a PORTABLE
+    hash (md5 exists in both engines) — oracles the exact window/stride/
+    normalization machinery that rolling_hash_fingerprints runs with the
+    faster JVM xxhash64 (which DuckDB lacks, hence that query is rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    window, stride = 32, 16
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    positions = F.sequence(
+        F.lit(0), F.greatest(F.length(norm) - window, F.lit(0)), F.lit(stride)
+    )
+    fps = F.transform(positions, lambda p: F.md5(F.substr(norm, p + 1, F.lit(window))))
+    return docs.select(F.col("doc_id"), F.posexplode(fps).alias("pos", "fp"))
+
+
 @_q("simhash_dup_pairs_docs", None)
 def simhash_dup_pairs_docs(spark, sf_dir):
     from mtsad_spark.operators.dedup import simhash, simhash_dup_pairs

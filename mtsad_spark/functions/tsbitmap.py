@@ -223,7 +223,17 @@ def bitmap_scores_supervised(
 ) -> DataFrame:
     """Spark wrapper for the supervised path: per-key training series are
     collected into a broadcast dict (training data is reference-sized, not
-    corpus-sized), then each test key group scores in one pandas kernel."""
+    corpus-sized), then each test key group scores in one pandas kernel.
+    A hard row cap guards the driver: exceeding it means the caller is
+    pointing a corpus at a reference-data seam."""
+    max_train_rows = 5_000_000  # ~120 MB of (key, ts, double) — driver-safe
+    n_train = train_df.count()
+    if n_train > max_train_rows:
+        raise ValueError(
+            f"supervised bitmap training set has {n_train} rows "
+            f"(cap {max_train_rows}): the reference bitmap is meant to be "
+            "reference-sized; downsample or aggregate the training series"
+        )
     train_pdf = (
         train_df.select(*keys, order_col, val_col)
         .toPandas()

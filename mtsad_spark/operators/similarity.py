@@ -112,37 +112,28 @@ def cosine_topk_ivf(
     lists = km.transform(c).drop("_feat")
     centers = km.clusterCenters()
 
-    # per-query n_probe nearest centroids, computed driver-side on the tiny
-    # centroid table then broadcast via explode
+    # per-query n_probe nearest centroids via a broadcast CENTROID TABLE join
+    # (round-1 embedded each centroid as a literal expression — at d=1024 /
+    # n_lists=4096 that is multi-MB of plan text per query; a data-side
+    # broadcast keeps the plan O(1) regardless of d·k)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    center_arrays = [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centers]
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(F.col("_qv"), ca, lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for ca in center_arrays
-    ])
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
+        schema="_list INT, _ctr ARRAY<DOUBLE>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_qv"), F.col("_ctr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("query_id").orderBy("_d", "_list")
     probe = (
-        q.withColumn("_d", dists)
-        .withColumn(
-            "_probe",
-            F.slice(
-                F.transform(
-                    F.array_sort(
-                        F.transform(
-                            F.col("_d"),
-                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-                        )
-                    ),
-                    lambda s: s["i"],
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .select("query_id", "_qv", F.explode("_probe").alias("_list"))
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d", d2)
+        .withColumn("_rk", F.row_number().over(wq))
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "_qv", "_list")
     )
     joined = lists.join(F.broadcast(probe), "_list").filter(
         F.col("neighbor_id") != F.col("query_id")
