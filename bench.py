@@ -125,11 +125,13 @@ def main() -> None:
         import re
 
         md = open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")).read()
-        m = re.search(r"efficiency ([0-9.]+) raw / ([0-9.]+)", md)
+        m = re.search(r"efficiency ([0-9.]+) raw", md)
         if m:
             out["scaling_efficiency_n_to_4n"] = float(m.group(1))
-            out["scaling_efficiency_capacity_normalized"] = float(m.group(2))
             out["scaling_evidence"] = "BENCH/BASELINE.md"
+        m = re.search(r"capacity-normalized ([0-9.]+)", md)
+        if m:
+            out["scaling_efficiency_capacity_normalized"] = float(m.group(1))
     except OSError:
         pass
     print(json.dumps(out))
