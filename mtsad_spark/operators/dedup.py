@@ -57,13 +57,28 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 def minhash_signatures(
     shingled: DataFrame, id_col: str, n_hashes: int = 64, seed: int = 42
 ) -> DataFrame:
-    """MinHash signature per id: n_hashes columns of min(xxhash64(shingle, i)).
+    """MinHash signature per id: n_hashes columns of min(h_i(shingle)).
+
+    The shingle STRING is hashed exactly once (xxhash64); the n hash
+    functions are derived by seeded odd-multiplier mixing of that base long
+    (h_i = a_i·h + b_i over Z/2^64 — a universal-style family). Hashing the
+    string n times was the round-1 hot spot: string hashing is O(len) per
+    eval, the derived mixes are one multiply-add each, so signature cost
+    drops from 64 string hashes to 1 + 64 integer ops per shingle row.
 
     One hash-groupBy; the n min-aggregates are algebraic (map-side combined),
     so a hot document set never concentrates on one task.
     """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # odd multipliers → bijections mod 2^64 (Java long arithmetic wraps,
+    # which is exactly the mod we want; ANSI mode stays off in session.py)
+    a = [int(x) | 1 for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
+    b = [int(x) for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
+    base = F.xxhash64(F.col("shingle"), F.lit(seed))
     aggs = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(seed + i))).alias(f"mh_{i}")
+        F.min(F.lit(a[i]) * base + F.lit(b[i])).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)

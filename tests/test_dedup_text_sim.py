@@ -91,13 +91,24 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 
 
 def test_minhash_signature_is_true_min(spark, docs):
+    """Signature column i must equal the true min of the i-th derived hash
+    h_i = a_i·xxhash64(shingle, seed) + b_i over the doc's shingle SET, with
+    Java-long wrap-around arithmetic (replicated via int64 numpy wrapping)."""
     sh = word_shingles(docs, "doc_id", "text", k=3)
     sigs = minhash_signatures(sh, "doc_id", n_hashes=4).toPandas().set_index("doc_id")
     shp = sh.withColumn("h0", F.xxhash64(F.col("shingle"), F.lit(42))).toPandas()
-    want = shp.groupby("doc_id")["h0"].min()
-    got = sigs["mh_0"]
-    for d in want.index:
-        assert got[d] == want[d]
+    rng = np.random.RandomState(42)
+    a = rng.randint(1, 2**63 - 1, size=4, dtype=np.int64) | np.int64(1)
+    b = rng.randint(1, 2**63 - 1, size=4, dtype=np.int64)
+    h = shp["h0"].to_numpy(dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for i in range(4):
+            shp[f"m{i}"] = a[i] * h + b[i]
+    for i in range(4):
+        want = shp.groupby("doc_id")[f"m{i}"].min()
+        got = sigs[f"mh_{i}"]
+        for d in want.index:
+            assert got[d] == want[d], (i, d)
 
 
 def test_simhash_near_dup(spark, docs):
