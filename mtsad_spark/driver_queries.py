@@ -762,6 +762,25 @@ def dedup_exact_docs(spark, sf_dir):
 
 
 @_q(
+    "drop_exact_dups_docs",
+    """
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN (SELECT md5(text) AS h, min(doc_id) AS keeper
+          FROM documents GROUP BY 1) c
+      ON md5(d.text) = c.h AND d.doc_id = c.keeper
+    """,
+)
+def drop_exact_dups_docs(spark, sf_dir):
+    """Survivor view of exact dedup (one min-id row per distinct content) —
+    the drop_exact_dups operator end-to-end, not just the group table."""
+    from mtsad_spark.operators.dedup import drop_exact_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return drop_exact_dups(docs, "doc_id", "text").select("doc_id", "source", "n_chars")
+
+
+@_q(
     "docs_quality",
     r"""
     SELECT doc_id,

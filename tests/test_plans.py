@@ -131,3 +131,23 @@ def test_halo_slicer_has_no_per_key_window_over_raw_rows(spark, events):
             assert "Aggregate [" in lines[i + 1], (
                 f"keys-only Window over a non-aggregate child:\n{line}\n{lines[i + 1]}"
             )
+
+
+def test_dedup_pipeline_has_no_cartesian_or_pair_broadcast(spark):
+    """VERDICT r01 #2 regression guard: the near-dup pipeline must contain
+    no CartesianProduct/BroadcastNestedLoopJoin anywhere, and no broadcast
+    exchange feeding a join on candidate-pair-sized frames (pairs are
+    O(corpus) on dup-heavy crawls). AQE may still pick broadcasts at RUNTIME
+    from measured sizes — this guards the STATIC plan only."""
+    from mtsad_spark.operators.dedup import minhash_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = minhash_dedup(docs, "doc_id", "text", threshold=0.5)
+    p = plan_of(q)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # no broadcast HINTS anywhere in the pipeline (size-estimate-driven
+    # broadcasts chosen by Catalyst/AQE are fine — they adapt to real sizes;
+    # a hard-coded hint on a pair frame does not)
+    analyzed = q._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
