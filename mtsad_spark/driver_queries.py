@@ -1449,6 +1449,38 @@ def token_histogram(spark, sf_dir):
     return binned.groupBy("source", "bin").agg(F.count("*").alias("freq"))
 
 
+@_q("distinct_rollup_1d_hll", None)
+def distinct_rollup_1d_hll(spark, sf_dir):
+    """Mergeable-sketch distinct tiers (rollup.distinct_rollup_tiers): 1d
+    estimates COMPOSED from 1m HLL partials. No DuckDB oracle (its HLL
+    differs); exactness vs countDistinct is pytest-golden
+    (test_rollup.py::test_distinct_rollup_tiers_hll_composition)."""
+    from mtsad_spark.operators.rollup import distinct_rollup_tiers
+
+    ev = _t(spark, sf_dir, "events")
+    return distinct_rollup_tiers(ev, "ts", "user_id", ["event_type"])["1d"]
+
+
+@_q(
+    "tokens_passthrough_hash",
+    """
+    SELECT doc_id, n_tok, md5(array_to_string(tokens, ',')) AS tok_hash
+    FROM read_parquet('/root/repo/.fixture_cache/seqfix.parquet')
+    """,
+)
+def tokens_passthrough_hash(spark, sf_dir):
+    """The input_hint per-row invariant CROSS-ENGINE: token arrays read
+    through Spark hash identically to DuckDB reading the same parquet —
+    element order, count, and values survive pass-through bit-for-bit."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+
+    seq = spark.read.parquet(ensure_seqfix())
+    tok_str = F.concat_ws(
+        ",", F.transform("tokens", lambda t: t.cast("string"))
+    )
+    return seq.select("doc_id", "n_tok", F.md5(tok_str).alias("tok_hash"))
+
+
 @_q("ivf_ann_embeddings", None)
 def ivf_ann_embeddings(spark, sf_dir):
     from mtsad_spark.operators.similarity import cosine_topk_ivf

@@ -156,6 +156,54 @@ def salted_rollup_partials(
     )
 
 
+def distinct_rollup_tiers(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    tiers: list[str] | None = None,
+    lg_k: int = 12,
+) -> dict[str, DataFrame]:
+    """Composable DISTINCT-count tiers via Datasketches HLL partials
+    (``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``).
+
+    Distinct-count is not algebraic — exact tier composition would need the
+    full value set per bucket. The HLL sketch IS a mergeable partial state:
+    the 1m tier builds sketches once from raw data, 1h/1d union those
+    sketches (register-wise max — lossless at equal lg_k), so coarser tiers
+    stay rollup-sized exactly like the numeric cascade. Estimate error is the
+    standard ~1.04/√2^lg_k (≈1.6% at lg_k=12); swap to exact
+    ``countDistinct`` only at fixture scale (driver_queries.distinct_users_1d
+    keeps the exact form for the DuckDB oracle).
+
+    Returns {tier: (keys..., bucket_ts, n_rows, distinct_est)}.
+    """
+    tiers = tiers or TIER_ORDER
+    base = tiers[0]
+    sk: dict[str, DataFrame] = {}
+    sk[base] = df.groupBy(*keys, bucket_expr(ts_col, base).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(F.col(val_col), F.lit(lg_k)).alias("_hll"),
+    )
+    for prev, cur in zip(tiers, tiers[1:]):
+        sk[cur] = sk[prev].groupBy(
+            *keys, bucket_expr("bucket_ts", cur).alias("bucket_ts")
+        ).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.hll_union_agg(F.col("_hll")).alias("_hll"),
+        )
+    return {
+        t: s.select(
+            *keys,
+            F.lit(t).alias("tier"),
+            "bucket_ts",
+            "n_rows",
+            F.hll_sketch_estimate("_hll").alias("distinct_est"),
+        )
+        for t, s in sk.items()
+    }
+
+
 def rollup_tiers(
     df: DataFrame,
     ts_col: str,

@@ -83,3 +83,37 @@ def test_token_passthrough_equality(spark, seq_tok_df, tmp_path):
     assert (back["n_tok"].values == orig["n_tok"].values).all()
     for got, want in zip(back["tokens"], orig["tokens"]):
         assert np.array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_distinct_rollup_tiers_hll_composition(spark):
+    """HLL distinct tiers: estimates within sketch error of exact distincts
+    at every tier, and the COMPOSED 1d sketch estimate equals a direct
+    1d-built sketch (union at equal lg_k is register-wise lossless)."""
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.operators.rollup import distinct_rollup_tiers
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    tiers = distinct_rollup_tiers(ev, "ts", "user_id", ["event_type"])
+    for t in ("1m", "1h", "1d"):
+        got = tiers[t].toPandas().set_index(["event_type", "bucket_ts"])
+        unit = {"1m": "minute", "1h": "hour", "1d": "day"}[t]
+        exact = (
+            ev.groupBy("event_type", F.date_trunc(unit, "ts").alias("bucket_ts"))
+            .agg(F.countDistinct("user_id").alias("d"))
+            .toPandas()
+            .set_index(["event_type", "bucket_ts"])
+        )
+        assert len(got) == len(exact)
+        j = got.join(exact)
+        rel = (j["distinct_est"] - j["d"]).abs() / j["d"].clip(lower=1)
+        assert rel.max() < 0.05, rel.max()  # ~3σ of 1.04/sqrt(2^12)
+    direct = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("bucket_ts"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e"))
+        .toPandas()
+        .set_index(["event_type", "bucket_ts"])
+    )
+    composed = tiers["1d"].toPandas().set_index(["event_type", "bucket_ts"])
+    j = composed.join(direct)
+    assert (j["distinct_est"] == j["e"]).all()
