@@ -265,10 +265,28 @@ def ewma_residual_chunked(
     return sliced.groupBy(*keys, "_slice").applyInPandas(kernel, schema=out_schema)
 
 
-def percentile_threshold(df: DataFrame, score_col: str, q: float, keys: list[str] | None = None) -> DataFrame:
-    """EXACT percentile threshold (q in [0,100]) — numpy linear-interpolation
-    semantics (reference lstm_mts.py:344-355). Grouped when ``keys`` given."""
-    expr = F.percentile(score_col, F.lit(q / 100.0)).alias("threshold")
+def percentile_threshold(
+    df: DataFrame,
+    score_col: str,
+    q: float,
+    keys: list[str] | None = None,
+    exact: bool = True,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Percentile threshold (q in [0,100]).
+
+    ``exact=True`` (default): numpy linear-interpolation semantics
+    (reference lstm_mts.py:344-355) — correct for rollup-sized frames, where
+    the engine's exactness contract lives (SCALING.md). ``exact=False``:
+    ``percentile_approx`` (Greenwald-Khanna, rank error ≤ 1/accuracy) — the
+    documented scale path for thresholds over RAW 10^12-row scores, where an
+    exact percentile would bottleneck the job and a 1e-4 rank tolerance is
+    immaterial to a sweep."""
+    p = F.lit(q / 100.0)
+    expr = (
+        F.percentile(score_col, p) if exact
+        else F.percentile_approx(score_col, p, F.lit(accuracy))
+    ).alias("threshold")
     if keys:
         return df.groupBy(*keys).agg(expr)
     return df.agg(expr)

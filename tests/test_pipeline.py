@@ -86,3 +86,19 @@ def test_resume_with_changed_params_refuses(spark, seq_df, tmp_path):
     # explicit resume=False recomputes and updates the manifest
     out = RollupPipeline(spark, base, zscore_w=60).run(seq_df, resume=False)
     assert out["rollup_1m"].count() > 0
+
+
+def test_manifest_guard_works_on_scheme_qualified_paths(spark, tmp_path):
+    """ADVICE r01: the config-mismatch guard must run through the Hadoop FS
+    API — exercised here with an explicit file:// URI (the scheme-resolution
+    path a hdfs:///s3a:// deployment would take)."""
+    import pytest
+
+    from mtsad_spark.fixtures import sequences
+    from mtsad_spark.plans.pipeline import RollupPipeline
+
+    seq = sequences(spark, n_rows=1_000, n_minutes=30, with_tokens=False)
+    base = f"file://{tmp_path}/ckpt"
+    RollupPipeline(spark, base, zscore_w=8).run(seq)
+    with pytest.raises(ValueError, match="different parameters"):
+        RollupPipeline(spark, base, zscore_w=9).run(seq)

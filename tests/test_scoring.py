@@ -284,3 +284,18 @@ print("HASH", h.hexdigest())
         line = [l for l in r.stdout.splitlines() if l.startswith("HASH")][0]
         hashes.append(line.split()[1])
     assert hashes[0] == hashes[1], hashes
+
+
+def test_percentile_threshold_approx_scale_path(spark):
+    """exact=False is the documented raw-scale path: rank error bounded by
+    1/accuracy vs the exact percentile."""
+    rng = np.random.RandomState(13)
+    vals = np.sort(rng.randn(50_000) * 10)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    for q in (50, 90, 99):
+        exact = percentile_threshold(df, "v", q).collect()[0]["threshold"]
+        approx = percentile_threshold(df, "v", q, exact=False, accuracy=10_000).collect()[0]["threshold"]
+        # value at a rank within ±n/accuracy of the true rank
+        lo = vals[max(0, int(len(vals) * q / 100) - 3 - len(vals) // 10_000)]
+        hi = vals[min(len(vals) - 1, int(len(vals) * q / 100) + 3 + len(vals) // 10_000)]
+        assert lo <= approx <= hi, (q, exact, approx)
