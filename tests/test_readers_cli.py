@@ -117,3 +117,89 @@ def test_arff_sparse_rows(spark):
     _, attrs, rows = parse_arff(text)
     assert rows[0] == [5.0, 0.0, "y"]
     assert rows[1] == [0.0, 0.0, "0"]  # spec: unmentioned values are zero
+
+
+def test_arff_parser_roundtrip_property():
+    """Property: any table serialized to ARFF text parses back identically
+    (types, '?' nulls, quoted nominals/strings with spaces)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mtsad_spark.sources.arff_reader import parse_arff
+
+    attr_type = st.sampled_from(["NUMERIC", "INTEGER", "STRING", "nominal"])
+
+    @st.composite
+    def tables(draw):
+        n_attrs = draw(st.integers(1, 5))
+        n_rows = draw(st.integers(0, 12))
+        attrs = []
+        for i in range(n_attrs):
+            t = draw(attr_type)
+            if t == "nominal":
+                vals = draw(
+                    st.lists(
+                        st.text(alphabet="abcXYZ_ ", min_size=1, max_size=6).map(str.strip).filter(bool),
+                        min_size=1, max_size=4, unique=True,
+                    )
+                )
+                attrs.append((f"a{i}", vals))
+            else:
+                attrs.append((f"a{i}", t))
+        rows = []
+        for _ in range(n_rows):
+            row = []
+            for _, t in attrs:
+                if draw(st.booleans()) and draw(st.integers(0, 4)) == 0:
+                    row.append(None)
+                elif isinstance(t, list):
+                    row.append(draw(st.sampled_from(t)))
+                elif t == "NUMERIC":
+                    row.append(draw(st.floats(-1e6, 1e6, allow_nan=False)))
+                elif t == "INTEGER":
+                    row.append(draw(st.integers(-10**9, 10**9)))
+                else:
+                    row.append(draw(st.text(alphabet="abc XYZ0_", max_size=8)).strip() or "x")
+            rows.append(row)
+        return attrs, rows
+
+    def serialize(attrs, rows) -> str:
+        lines = ["@RELATION prop"]
+        for n, t in attrs:
+            if isinstance(t, list):
+                lines.append(f"@ATTRIBUTE {n} {{{','.join(repr(v) for v in t)}}}")
+            else:
+                lines.append(f"@ATTRIBUTE {n} {t}")
+        lines.append("@DATA")
+        for row in rows:
+            cells = []
+            for v, (_, t) in zip(row, attrs):
+                if v is None:
+                    cells.append("?")
+                elif isinstance(t, list) or t == "STRING":
+                    cells.append(repr(v))  # single-quoted
+                else:
+                    cells.append(repr(v))
+            lines.append(",".join(cells))
+        return "\n".join(lines) + "\n"
+
+    @settings(max_examples=60, deadline=None)
+    @given(tables())
+    def check(tbl):
+        attrs, rows = tbl
+        rel, got_attrs, got_rows = parse_arff(serialize(attrs, rows))
+        assert rel == "prop"
+        assert [a[0] for a in got_attrs] == [a[0] for a in attrs]
+        assert len(got_rows) == len(rows)
+        for want, got in zip(rows, got_rows):
+            for v, g, (_, t) in zip(want, got, attrs):
+                if v is None:
+                    assert g is None
+                elif t == "NUMERIC":
+                    assert g == float(repr(v)), (v, g)
+                elif t == "INTEGER":
+                    assert g == v
+                else:
+                    assert g == v, (v, g)
+
+    check()
