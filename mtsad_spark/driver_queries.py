@@ -1047,6 +1047,51 @@ def jaccard_all_pairs_docs(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
+_SH60_BITS = 60
+_SH60_SQL = (
+    r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok"
+    " FROM documents),"
+    " h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),"
+    " v AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(_SH60_BITS)
+    )
+    + " FROM h GROUP BY 1)"
+    " SELECT doc_id, "
+    + " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE 0 END)"
+        for i in range(_SH60_BITS)
+    )
+    + " AS simhash60 FROM v"
+)
+
+
+@_q("simhash_md5_docs", _SH60_SQL)
+def simhash_md5_docs(spark, sf_dir):
+    """SimHash vote→sign→assembly algebra oracled CROSS-ENGINE with a
+    portable 60-bit md5-derived token hash (DuckDB lacks xxhash64, so the
+    production simhash_docs stays rows-only; this variant proves the
+    aggregation algebra itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(_SH60_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sig = None
+    for i in range(_SH60_BITS):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return agg.select("doc_id", sig.alias("simhash60"))
+
+
 @_q("simhash_docs", None)
 def simhash_docs(spark, sf_dir):
     from mtsad_spark.operators.dedup import simhash
