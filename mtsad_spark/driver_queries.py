@@ -1200,6 +1200,7 @@ def sequences_pipeline_rollup(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.rollup import rollup_tiers
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # bucket boundaries
     seq = spark.read.parquet(ensure_seqfix())
     finalized, _ = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
     h = finalized["1h"]
