@@ -1004,33 +1004,26 @@ def minhash_near_dups_docs(spark, sf_dir):
     return minhash_dedup(docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5)
 
 
-@_q(
-    "jaccard_all_pairs_docs",
-    r"""
-    WITH toks AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
-                  FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                       array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
-                FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
-                WHERE len(w) > 0),
-         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-                   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2)
-    SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
-      SELECT id_a, id_b, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-      FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
-                 JOIN sizes sb ON inter.id_b = sb.doc_id)
-    WHERE jaccard >= 0.5
-    """,
-)
-def jaccard_all_pairs_docs(spark, sf_dir):
-    """Exact-Jaccard VERIFY stage of the near-dup pipeline, oracled: candidate
-    pairs = every pair sharing ≥1 shingle (exhaustive, so no LSH recall gap
-    can desync the two engines), verified by operators.dedup.jaccard_pairs —
-    the exact code path minhash_dedup uses after banding. Exhaustive
-    candidates are fixture-scale only; at corpus scale the LSH bands bound
-    the pair space (minhash_near_dups_docs)."""
+_JACCARD_PAIRS_CTE = r"""
+    toks AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+           FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+           WHERE len(w) > 0),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jp AS (SELECT id_a, id_b, jaccard FROM (
+             SELECT id_a, id_b, n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+             FROM inter JOIN sizes sa ON inter.id_a = sa.doc_id
+                        JOIN sizes sb ON inter.id_b = sb.doc_id)
+           WHERE jaccard >= 0.5)
+"""
+
+
+def _jaccard_pairs_df(spark, sf_dir):
     from mtsad_spark.operators.dedup import jaccard_pairs, word_shingles
 
     docs = _t(spark, sf_dir, "documents")
@@ -1043,8 +1036,47 @@ def jaccard_all_pairs_docs(spark, sf_dir):
         .select("id_a", "id_b")
         .distinct()
     )
-    out = jaccard_pairs(pairs, sh, "doc_id", threshold=0.5)
-    return out.withColumn("jaccard", F.round("jaccard", 6))
+    return jaccard_pairs(pairs, sh, "doc_id", threshold=0.5)
+
+
+@_q(
+    "jaccard_all_pairs_docs",
+    "WITH " + _JACCARD_PAIRS_CTE
+    + "SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jp",
+)
+def jaccard_all_pairs_docs(spark, sf_dir):
+    """Exact-Jaccard VERIFY stage of the near-dup pipeline, oracled: candidate
+    pairs = every pair sharing ≥1 shingle (exhaustive, so no LSH recall gap
+    can desync the two engines), verified by operators.dedup.jaccard_pairs —
+    the exact code path minhash_dedup uses after banding. Exhaustive
+    candidates are fixture-scale only; at corpus scale the LSH bands bound
+    the pair space (minhash_near_dups_docs)."""
+    return _jaccard_pairs_df(spark, sf_dir).withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_q(
+    "near_dup_groups_docs",
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTE
+    + """,
+    e AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+    ids AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+        SELECT id, id FROM ids
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+    )
+    SELECT id, min(r) AS group_id FROM reach GROUP BY 1
+    """,
+)
+def near_dup_groups_docs(spark, sf_dir):
+    """Transitive duplicate clusters over the verified near-dup pairs —
+    dedup.dup_groups (iterative min-label propagation, the Spark-sized
+    answer to connected components) oracled against a DuckDB RECURSIVE CTE
+    transitive closure over the identical pair set."""
+    from mtsad_spark.operators.dedup import dup_groups
+
+    return dup_groups(_jaccard_pairs_df(spark, sf_dir))
 
 
 _SH60_BITS = 60

@@ -180,6 +180,61 @@ def minhash_dedup(
     return jaccard_pairs(cand, sh, id_col, threshold)
 
 
+def dup_groups(
+    pairs: DataFrame, id_col_a: str = "id_a", id_col_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Transitive duplicate GROUPS from near-dup pairs: connected components
+    by iterative min-label propagation — ``(id, group_id)`` where group_id =
+    the smallest member id (the canonical survivor, matching exact_dedup's
+    min-id rule).
+
+    Near-dup pairs are only edges; real dedup keeps ONE doc per transitive
+    cluster, so a components pass follows candidate verification in every
+    production pipeline. Spark-first shape: each round joins current labels
+    across both edge directions and takes the min — a shuffle-bounded
+    fixpoint that converges in O(component diameter) rounds (dup clusters
+    are shallow: near-dup similarity is near-transitive), with the loop over
+    ROUNDS on the driver, never over rows. Each round's frame is persisted
+    and the previous unpersisted, so lineage stays one round deep.
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("a"), F.col(id_col_b).alias("b"))
+        .unionByName(pairs.select(F.col(id_col_b).alias("a"), F.col(id_col_a).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("group_id", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("group_id").alias("_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select("id", F.least("group_id", F.coalesce("_nbr", "group_id")).alias("group_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 

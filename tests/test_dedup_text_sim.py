@@ -325,3 +325,47 @@ def test_multi_table_lsh_ann_recall_above_090(spark):
     t_pairs = {(r.query_id, r.neighbor_id) for r in truth.itertuples()}
     g_pairs = {(r.query_id, r.neighbor_id) for r in got.itertuples()}
     assert len(t_pairs & g_pairs) >= 0.9 * len(t_pairs), (len(t_pairs & g_pairs), len(t_pairs))
+
+
+def test_dup_groups_connected_components(spark):
+    """dup_groups == union-find oracle (min member id per component),
+    including a 12-node path (worst-case propagation depth) and singleton
+    edge pairs."""
+    import pandas as pd
+
+    from mtsad_spark.operators.dedup import dup_groups
+
+    rng = np.random.RandomState(17)
+    edges = set()
+    # three random clusters
+    for base in (0, 100, 200):
+        members = [base + i for i in range(rng.randint(3, 9))]
+        for m in members[1:]:
+            edges.add((min(members[0], m), max(members[0], m)))
+        for _ in range(3):
+            x, y = rng.choice(members, 2)
+            if x != y:
+                edges.add((min(x, y), max(x, y)))
+    # a 12-node path: 300-301-...-311
+    for i in range(300, 311):
+        edges.add((i, i + 1))
+    pairs = spark.createDataFrame(
+        pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+    )
+    got = dup_groups(pairs).toPandas().set_index("id")["group_id"].to_dict()
+
+    parent: dict[int, int] = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
