@@ -299,3 +299,52 @@ def test_percentile_threshold_approx_scale_path(spark):
         lo = vals[max(0, int(len(vals) * q / 100) - 3 - len(vals) // 10_000)]
         hi = vals[min(len(vals) - 1, int(len(vals) * q / 100) + 3 + len(vals) // 10_000)]
         assert lo <= approx <= hi, (q, exact, approx)
+
+
+def test_halo_slicer_hot_key_many_coarse_buckets(spark):
+    """One monster key spanning 90 hours (≈90 coarse count-buckets) with
+    irregular gaps: the composed row numbering + halo slicing must still
+    match the JVM window form exactly — this is the shape where the round-1
+    per-key row_number would have serialized."""
+    rng = np.random.RandomState(31)
+    n = 6000
+    # irregular spine: drop ~12% of slots, jitter seconds
+    base = np.arange(int(n * 1.15)) * 54
+    keep = rng.rand(len(base)) > 0.12
+    secs = np.sort(base[keep][:n])
+    pdf = pd.DataFrame(
+        {
+            "k": "hot",
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(secs, unit="s"),
+            "v": rng.randn(n).cumsum(),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    w = 24
+    a = (
+        sliding_zscore(df, ["k"], "ts", "v", w=w)
+        .select("ts", "score")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    b = (
+        sliding_zscore_pandas(df, ["k"], "ts", "v", w=w, rows_per_slice=231)
+        .select("ts", "score")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    na, nb = a["score"].isna().values, b["score"].isna().values
+    assert len(a) == len(b) == n
+    assert (na == nb).all()
+    assert np.allclose(a["score"].values[~na], b["score"].values[~nb], rtol=1e-9)
+    c = (
+        ewma_residual_chunked(df, ["k"], "ts", "v", alpha=0.2, rows_per_slice=500)
+        .select("ts", "ewma_level")
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = pdf.sort_values("ts")["v"].ewm(alpha=0.2, adjust=False).mean().values
+    assert np.allclose(c["ewma_level"].values, want, rtol=1e-10)
