@@ -998,6 +998,9 @@ def knn_cosine_top3(spark, sf_dir):
 
 @_q("minhash_near_dups_docs", None)
 def minhash_near_dups_docs(spark, sf_dir):
+    """No SQL oracle: candidates depend on xxhash64 banding (absent in
+    DuckDB) and LSH recall < 1 would desync row sets; the verify stage is
+    oracled exhaustively by jaccard_all_pairs_docs instead."""
     from mtsad_spark.operators.dedup import minhash_dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -1126,6 +1129,8 @@ def simhash_md5_docs(spark, sf_dir):
 
 @_q("simhash_docs", None)
 def simhash_docs(spark, sf_dir):
+    """No SQL oracle: xxhash64 is Spark-specific; the vote/sign/assembly
+    algebra is oracled by simhash_md5_docs with a portable hash."""
     from mtsad_spark.operators.dedup import simhash
 
     docs = _t(spark, sf_dir, "documents")
@@ -1163,6 +1168,9 @@ def lang_id_docs(spark, sf_dir):
 
 @_q("ann_lsh_embeddings", None)
 def ann_lsh_embeddings(spark, sf_dir):
+    """No SQL oracle: hyperplane buckets hinge on float dot-product signs —
+    cross-engine ulp differences flip near-zero projections. Recall floors
+    are pytest-golden (single- and multi-table)."""
     from mtsad_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1276,6 +1284,8 @@ def mse_rmse_ma_1h(spark, sf_dir):
 
 @_q("bitmap_scores_1h", None)
 def bitmap_scores_1h(spark, sf_dir):
+    """No SQL oracle: per-series pandas kernel (SAX n-gram bitmaps); golden
+    tests pin it bitwise to the naive recount + reference-style bounds."""
     from mtsad_spark.functions.tsbitmap import bitmap_scores
 
     hourly = _hourly_df(spark, sf_dir)
@@ -1289,6 +1299,7 @@ def bitmap_scores_1h(spark, sf_dir):
 
 @_q("fft_residual_1h", None)
 def fft_residual_1h(spark, sf_dir):
+    """No SQL oracle (no FFT in DuckDB); pytest-golden vs numpy.fft."""
     from mtsad_spark.functions.signal import fft_bandstop_residual
 
     hourly = _hourly_df(spark, sf_dir)
@@ -1298,6 +1309,7 @@ def fft_residual_1h(spark, sf_dir):
 
 @_q("hp_residual_1h", None)
 def hp_residual_1h(spark, sf_dir):
+    """No SQL oracle (pentadiagonal solve); pytest-golden vs dense solve."""
     from mtsad_spark.functions.signal import hp_residual_mad
 
     hourly = _hourly_df(spark, sf_dir)
@@ -1368,6 +1380,8 @@ def epsilon_f1_events(spark, sf_dir):
 
 @_q("rolling_hash_fingerprints_docs", None)
 def rolling_hash_fingerprints_docs(spark, sf_dir):
+    """No SQL oracle: xxhash64 fingerprints; the identical window/stride
+    machinery is oracled by substring_fingerprints_md5_docs."""
     from mtsad_spark.functions.text import rolling_hash_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
@@ -1401,6 +1415,8 @@ def substring_fingerprints_md5_docs(spark, sf_dir):
 
 @_q("simhash_dup_pairs_docs", None)
 def simhash_dup_pairs_docs(spark, sf_dir):
+    """No SQL oracle (xxhash64 signatures); the chunk-pigeonhole recall
+    contract is pytest-golden (crafted 6-bit-spread pair)."""
     from mtsad_spark.operators.dedup import simhash, simhash_dup_pairs
 
     docs = _t(spark, sf_dir, "documents")
