@@ -40,10 +40,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _ensure_fixtures() -> None:
-    from mtsad_spark.fixture_cache import ensure_arff_fixture, ensure_seqfix
+    from mtsad_spark.fixture_cache import (
+        ensure_arff_fixture,
+        ensure_mat_fixture,
+        ensure_seqfix,
+    )
 
     ensure_seqfix()  # lazy: shared fixtures must exist before either engine
     ensure_arff_fixture()  # evaluates (see fixture_cache module docstring)
+    ensure_mat_fixture()
 
 
 def queries() -> dict[str, QueryFn]:
@@ -1726,6 +1731,23 @@ def arff_scan_mts2(spark, sf_dir):
     arff_path, _ = ensure_arff_fixture()
     out = arff_to_mts2(spark, arff_path, tag_anomaly=1)
     return out.select("t", "AF1", "AF2", "AF3", "AF4", F.col("tag").cast("int").alias("tag"))
+
+
+@_q(
+    "mat_scan_matrix",
+    """
+    SELECT t, v0, v1, v2
+    FROM read_parquet('/root/repo/.fixture_cache/gauss_fixture_expected.parquet')
+    """,
+)
+def mat_scan_matrix(spark, sf_dir):
+    """S5 .mat scan: clean-room MAT5 parse (sources/mat_reader) cross-checked
+    against a parquet written INDEPENDENTLY from the source array."""
+    from mtsad_spark.fixture_cache import ensure_mat_fixture
+    from mtsad_spark.sources.mat_reader import read_mat_matrix
+
+    mat_path, _ = ensure_mat_fixture()
+    return read_mat_matrix(spark, mat_path, "X")
 
 
 @_q("ensemble_stacking_1h", None)

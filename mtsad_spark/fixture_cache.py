@@ -113,3 +113,32 @@ def ensure_arff_fixture() -> tuple[str, str]:
     pdf.to_parquet(tmp)
     os.replace(tmp, ARFF_ORACLE_PATH)
     return ARFF_PATH, ARFF_ORACLE_PATH
+
+
+MAT_PATH = f"{CACHE_DIR}/gauss_fixture.mat"
+MAT_ORACLE_PATH = f"{CACHE_DIR}/gauss_fixture_expected.parquet"
+
+
+def ensure_mat_fixture() -> tuple[str, str]:
+    """Deterministic MAT5 file (written by sources/mat_reader.save_mat) plus
+    the EXPECTED DataFrame parquet written straight from the source numpy
+    array — an independent path, so the driver cross-checks the MAT5 PARSER
+    (sources/mat_reader.load_mat), not parquet IO."""
+    if os.path.exists(MAT_PATH) and os.path.exists(MAT_ORACLE_PATH):
+        return MAT_PATH, MAT_ORACLE_PATH
+    import pandas as pd
+
+    from mtsad_spark.sources.mat_reader import save_mat
+
+    rng = np.random.RandomState(888)
+    X = np.round(rng.randn(300, 3) * 7 + 50, 6)
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{MAT_PATH}.tmp.{os.getpid()}"
+    save_mat(tmp, {"X": X})
+    os.replace(tmp, MAT_PATH)
+    pdf = pd.DataFrame(X, columns=["v0", "v1", "v2"])
+    pdf.insert(0, "t", np.arange(len(X), dtype=np.int64))
+    tmp = f"{MAT_ORACLE_PATH}.tmp.{os.getpid()}"
+    pdf.to_parquet(tmp)
+    os.replace(tmp, MAT_ORACLE_PATH)
+    return MAT_PATH, MAT_ORACLE_PATH

@@ -203,3 +203,48 @@ def test_arff_parser_roundtrip_property():
                     assert g == v, (v, g)
 
     check()
+
+
+def test_mat5_reader_roundtrip_and_shapes(spark, tmp_path):
+    """S5: clean-room MAT5 parse — write with our own spec-conformant writer
+    (compressed elements), read back bit-exact, and load through the
+    gaussian.py consumption shape (X, Xval, yval)."""
+    import numpy as np
+
+    from mtsad_spark.sources.mat_reader import load_mat, read_mat_matrix, save_mat
+
+    rng = np.random.RandomState(15)
+    X = rng.randn(40, 3) * 5
+    Xval = rng.randn(20, 3)
+    yval = (rng.rand(20, 1) > 0.7).astype(np.float64)
+    p = str(tmp_path / "g.mat")
+    save_mat(p, {"X": X, "Xval": Xval, "yval": yval})
+    got = load_mat(p)
+    assert set(got) == {"X", "Xval", "yval"}
+    assert (got["X"] == X).all() and (got["Xval"] == Xval).all() and (got["yval"] == yval).all()
+    df = read_mat_matrix(spark, p, "X")
+    pdf = df.orderBy("t").toPandas()
+    assert list(pdf.columns) == ["t", "v0", "v1", "v2"]
+    assert np.allclose(pdf[["v0", "v1", "v2"]].values, X)
+
+
+def test_mat5_reader_small_element_and_uncompressed(tmp_path):
+    """Hand-built uncompressed matrix using the SMALL data-element format
+    for the name (the layout MATLAB itself emits for short names)."""
+    import struct
+
+    import numpy as np
+
+    from mtsad_spark.sources.mat_reader import load_mat
+
+    arr = np.arange(6, dtype="<f8").reshape(3, 2, order="F")
+    body = struct.pack("<II", 6, 8) + struct.pack("<II", 6, 0)      # flags
+    body += struct.pack("<II", 5, 8) + struct.pack("<ii", 3, 2)     # dims
+    body += struct.pack("<HH", 1, 1) + b"A\x00\x00\x00"             # small name 'A'
+    body += struct.pack("<II", 9, 48) + arr.tobytes(order="F")      # miDOUBLE
+    matrix = struct.pack("<II", 14, len(body)) + body
+    header = b"MATLAB 5.0 MAT-file".ljust(124) + struct.pack("<HH", 0x0100, 0x4D49)
+    p = tmp_path / "u.mat"
+    p.write_bytes(header + matrix)
+    got = load_mat(str(p))
+    assert (got["A"] == arr).all()
