@@ -1621,6 +1621,67 @@ def distinct_users_1d(spark, sf_dir):
 
 
 @_q(
+    "asof_enrich_events",
+    _hourly_cte()
+    + """
+    SELECT e.event_id, e.ts, e.event_type, round(h.avg_v, 6) AS last_hourly_avg
+    FROM events e ASOF LEFT JOIN hourly h
+      ON e.event_type = h.event_type AND e.ts >= h.bucket_ts
+    """,
+)
+def asof_enrich_events(spark, sf_dir):
+    """As-of join (operators/joins.py): each raw event gets the LATEST
+    completed hourly rollup point of its type — union-window form, one
+    shuffle, oracled against DuckDB's native ASOF JOIN."""
+    from mtsad_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    hourly = _hourly_df(spark, sf_dir)
+    out = asof_join(ev, hourly, ["event_type"], "ts", "bucket_ts", ["avg_v"])
+    return out.select(
+        "event_id", "ts", "event_type", F.round("avg_v", 6).alias("last_hourly_avg")
+    )
+
+
+@_q(
+    "events_in_sessions_range_join",
+    """
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM g),
+         iv AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                       min(ts) AS session_start, max(ts) AS session_end
+                FROM s GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, iv.session_id
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts BETWEEN iv.session_start AND iv.session_end
+    """,
+)
+def events_in_sessions_range_join(spark, sf_dir):
+    """Point-in-interval range join (operators/joins.py, binned): events land
+    in their own sessionization intervals — binning keeps the join an
+    equi-join on (user, hour-bin) instead of |events|x|sessions|. The oracle
+    is DuckDB's plain range join over identical intervals."""
+    from mtsad_spark.operators.joins import interval_join_binned
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    sessions = sessionize_users(spark, sf_dir).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    out = interval_join_binned(
+        ev, sessions, ["user_id"], "ts", "session_start", "session_end",
+        bin_width_s=3600,
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+@_q(
     "token_histogram",
     """
     SELECT source, CAST(floor(t / 50.0) AS INTEGER) AS bin, count(*) AS freq

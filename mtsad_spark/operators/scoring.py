@@ -97,8 +97,11 @@ def _global_row_numbers(
     seconds) and a total order per key — ties make row_number arrival-order
     dependent, as with any Spark window.
     """
-    ord_d = F.col(order_col).cast("double")
-    b = df.withColumn("_cb", F.floor(ord_d / F.lit(coarse_width)).cast("long"))
+    from .joins import _epoch
+
+    b = df.withColumn(
+        "_cb", F.floor(_epoch(df, order_col) / F.lit(coarse_width)).cast("long")
+    )
     counts = b.groupBy(*keys, "_cb").agg(F.count(F.lit(1)).alias("_n"))
     woff = (
         Window.partitionBy(*keys)

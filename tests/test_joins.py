@@ -1,0 +1,88 @@
+"""As-of and binned range joins vs pandas merge_asof / brute-force oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from mtsad_spark.operators.joins import asof_join, interval_join_binned
+
+
+def test_asof_join_matches_merge_asof(spark):
+    rng = np.random.RandomState(19)
+    lt = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 300),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 90_000, 300), unit="s"),
+            "x": rng.randn(300),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 60),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 90_000, 60), unit="s"),
+            "v": rng.randn(60),
+            "w": rng.randint(0, 100, 60),
+        }
+    )
+    # include an exact-tie row and a left row before any right row
+    lt.loc[0, ["k", "ts"]] = ["a", rt[rt["k"] == "a"]["ts"].iloc[0]]
+    lt.loc[1, ["k", "ts"]] = ["a", pd.Timestamp("2023-12-31")]
+    rt = rt.drop_duplicates(subset=["k", "ts"])  # unique (k, ts) on the right
+    got = (
+        asof_join(
+            spark.createDataFrame(lt), spark.createDataFrame(rt),
+            ["k"], "ts", "ts", ["v", "w"],
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "x"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            lt.sort_values("ts"), rt.sort_values("ts"),
+            on="ts", by="k", direction="backward",
+        )
+        .sort_values(["k", "ts", "x"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 300
+    for c in ("v", "w"):
+        gn, wn = got[c].isna().values, want[c].isna().values
+        assert (gn == wn).all(), c
+        assert np.allclose(got[c].values[~gn].astype(float), want[c].values[~wn].astype(float)), c
+    assert got["v"].isna().sum() > 0  # the before-any-right row stayed null
+
+
+def test_interval_join_binned_vs_bruteforce(spark):
+    rng = np.random.RandomState(20)
+    pts = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 500),
+            "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 200_000, 500), unit="s"),
+            "pid": range(500),
+        }
+    )
+    starts = pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.randint(0, 180_000, 40), unit="s")
+    iv = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b", "c"], 40),
+            "start": starts,
+            "end": starts + pd.to_timedelta(rng.randint(60, 30_000, 40), unit="s"),
+            "iid": range(40),
+        }
+    )
+    got = (
+        interval_join_binned(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            ["k"], "ts", "start", "end", bin_width_s=3600,
+        )
+        .select("pid", "iid")
+        .toPandas()
+    )
+    got_pairs = set(zip(got["pid"], got["iid"]))
+    want_pairs = set()
+    for _, p in pts.iterrows():
+        m = iv[(iv["k"] == p["k"]) & (iv["start"] <= p["ts"]) & (p["ts"] <= iv["end"])]
+        want_pairs |= {(p["pid"], i) for i in m["iid"]}
+    assert got_pairs == want_pairs and len(want_pairs) > 50
