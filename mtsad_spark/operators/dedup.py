@@ -192,8 +192,8 @@ def dup_groups(
     cluster, so a components pass follows candidate verification in every
     production pipeline. Spark-first shape: each round joins current labels
     across both edge directions and takes the min — a shuffle-bounded
-    fixpoint that converges in O(component diameter) rounds (dup clusters
-    are shallow: near-dup similarity is near-transitive), with the loop over
+    fixpoint with a pointer-jump contraction each round (label-of-my-label),
+    converging in O(log diameter) rounds, with the loop over
     ROUNDS on the driver, never over rows. Each round's frame is persisted
     and the previous unpersisted, so lineage stays one round deep.
     """
@@ -215,9 +215,21 @@ def dup_groups(
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("group_id").alias("_nbr"))
         )
+        merged = labels.join(nbr_min, "id", "left").select(
+            "id", F.least("group_id", F.coalesce("_nbr", "group_id")).alias("group_id")
+        )
+        # pointer jump (label-of-my-label): contracts chains, so convergence
+        # is O(log diameter) rounds instead of O(diameter) — group ids are
+        # themselves member ids, so the lookup is a self-join on the id key
         new_labels = (
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least("group_id", F.coalesce("_nbr", "group_id")).alias("group_id"))
+            merged.alias("x")
+            .join(
+                merged.select(
+                    F.col("id").alias("group_id"), F.col("group_id").alias("_gg")
+                ).alias("y"),
+                "group_id",
+            )
+            .select("id", F.col("_gg").alias("group_id"))
             .persist()
         )
         changed = (
