@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from mtsad_spark.operators.joins import asof_join, interval_join_binned
 
@@ -52,6 +53,57 @@ def test_asof_join_matches_merge_asof(spark):
         assert (gn == wn).all(), c
         assert np.allclose(got[c].values[~gn].astype(float), want[c].values[~wn].astype(float)), c
     assert got["v"].isna().sum() > 0  # the before-any-right row stayed null
+
+
+def test_asof_join_small_buckets_carry_across_gaps(spark):
+    """Tiny coarse_width forces the bucket-composition machinery through
+    many buckets (including right-free gap buckets the carry must cross) and
+    a null right VALUE, which must be attached as null (latest-ROW
+    semantics, like merge_asof/ASOF JOIN), not skipped for an older value."""
+    lt = pd.DataFrame(
+        {
+            "k": ["a"] * 6,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:05", "2024-01-01 00:10:00", "2024-01-01 01:30:00",
+                 "2024-01-01 03:00:00", "2024-01-01 03:00:10", "2024-01-01 09:00:00"]
+            ),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": ["a"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10:00", "2024-01-01 02:59:59", "2024-01-01 03:00:10"]
+            ),
+            "v": [1.0, 2.0, np.nan],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(lt), spark.createDataFrame(rt),
+            ["k"], "ts", "ts", ["v"], coarse_width=60.0,
+        )
+        .toPandas()
+        .sort_values("ts")
+        .reset_index(drop=True)
+    )
+    want = pd.merge_asof(lt.sort_values("ts"), rt.sort_values("ts"), on="ts", by="k")
+    assert got["v"].isna().tolist() == want["v"].isna().tolist()
+    m = ~got["v"].isna()
+    assert np.allclose(got["v"][m].values, want["v"][m].values)
+    # explicit pins: pre-first-right null, exact tie, gap carry, null value row
+    assert np.isnan(got["v"][0]) and got["v"][1] == 1.0 and got["v"][2] == 1.0
+    assert got["v"][3] == 2.0 and np.isnan(got["v"][4]) and np.isnan(got["v"][5])
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    lt = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [1.0], "v": [0.0]}))
+    rt = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [0.5], "v": [1.0]}))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(lt, rt, ["k"], "ts", "ts", ["v"])
+    rt2 = rt.withColumnRenamed("v", "_asof_rv")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(lt, rt2, ["k"], "ts", "ts", ["_asof_rv"])
 
 
 def test_interval_join_binned_vs_bruteforce(spark):
