@@ -1012,6 +1012,102 @@ def minhash_near_dups_docs(spark, sf_dir):
     return minhash_dedup(docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5)
 
 
+_SHINGLE_CTE = r"""
+    toks AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
+             FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(list_slice(w, i, i + 2), ' ') AS shingle
+           FROM toks, unnest(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+           WHERE len(w) > 0)
+"""
+
+_MH16 = 16  # portable-variant signature length (4 bands x 4 rows)
+
+
+def _mh_expr_sql(i: int) -> str:
+    return f"CAST('0x' || substr(md5('{i}|' || shingle), 1, 15) AS BIGINT)"
+
+
+_MINHASH_MD5_SQL = (
+    "WITH " + _SHINGLE_CTE
+    + "SELECT doc_id, "
+    + ", ".join(f"min({_mh_expr_sql(i)}) AS mh_{i}" for i in range(_MH16))
+    + " FROM sh GROUP BY 1"
+)
+
+
+def _minhash_md5_sigs(spark, sf_dir):
+    """Portable-hash MinHash signatures: per-shingle 60-bit values derived
+    from md5 (exists in both engines) instead of the production xxhash64
+    family (operators/dedup.py:minhash_signatures). Same shape: shingle set →
+    one hash-groupBy with algebraic min aggregates, map-side combined."""
+    from mtsad_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, "doc_id", "text", k=3)
+    aggs = [
+        F.min(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.lit(str(i)), F.col("shingle"))), 1, 15),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"mh_{i}")
+        for i in range(_MH16)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@_q("minhash_md5_docs", _MINHASH_MD5_SQL)
+def minhash_md5_docs(spark, sf_dir):
+    """The MinHash SIGNATURE stage oracled cross-engine (VERDICT r02 next #3):
+    min-over-shingles of md5-derived integers — integer-exact, so the hashes
+    must match bit-for-bit. Proves the shingling + min-aggregation algebra
+    that minhash_near_dups_docs runs with the faster JVM xxhash64 family."""
+    return _minhash_md5_sigs(spark, sf_dir)
+
+
+_MINHASH_BANDS_SQL = (
+    "WITH " + _SHINGLE_CTE
+    + ", sig AS (SELECT doc_id, "
+    + ", ".join(f"min({_mh_expr_sql(i)}) AS mh_{i}" for i in range(_MH16))
+    + " FROM sh GROUP BY 1)"
+    + " SELECT DISTINCT id_a, id_b FROM ("
+    + " UNION ALL ".join(
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sig a JOIN sig b ON "
+        + " AND ".join(f"a.mh_{band * 4 + j} = b.mh_{band * 4 + j}" for j in range(4))
+        + " AND a.doc_id < b.doc_id"
+        for band in range(4)
+    )
+    + ")"
+)
+
+
+@_q("minhash_md5_band_pairs", _MINHASH_BANDS_SQL)
+def minhash_md5_band_pairs(spark, sf_dir):
+    """The LSH BANDING stage oracled cross-engine: candidate pairs = docs
+    sharing any full band of the portable signature. Joins on the raw band
+    tuple (4 BIGINTs) instead of the production band-hash
+    (dedup.lsh_candidate_pairs xxhash64-compresses the tuple first — same
+    pairs modulo negligible hash collisions, but not portable)."""
+    from functools import reduce
+
+    sigs = _minhash_md5_sigs(spark, sf_dir)
+    pairs = None
+    for band in range(4):
+        cols = [f"mh_{band * 4 + j}" for j in range(4)]
+        l = sigs.select(F.col("doc_id").alias("id_a"), *cols)
+        r = sigs.select(
+            F.col("doc_id").alias("id_b"), *[F.col(c).alias(f"{c}_r") for c in cols]
+        )
+        cond = reduce(
+            lambda a, b: a & b, [F.col(c) == F.col(f"{c}_r") for c in cols]
+        ) & (F.col("id_a") < F.col("id_b"))
+        p = l.join(r, cond).select("id_a", "id_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
 _JACCARD_PAIRS_CTE = r"""
     toks AS (SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS w
              FROM documents),

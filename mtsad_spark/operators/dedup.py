@@ -68,6 +68,12 @@ def minhash_signatures(
 
     One hash-groupBy; the n min-aggregates are algebraic (map-side combined),
     so a hot document set never concentrates on one task.
+
+    Independence caveat (standard datasketch-style tradeoff): all n functions
+    mix ONE base hash, so two shingles whose 64-bit base values collide
+    collide in every coordinate at once, and the affine family is weaker than
+    n independent hashes — the banding recall formula holds up to the
+    negligible base-collision probability (~n_shingles²/2^64).
     """
     import numpy as np
 
@@ -167,6 +173,9 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join
     → exact-Jaccard verify. Returns (id_a, id_b, jaccard) ≥ threshold.
+    Recall claims assume negligible base-hash collisions (see
+    :func:`minhash_signatures`); the exact-Jaccard verify stage means any
+    collision can only ADD a correct pair, never emit a wrong one.
 
     The shingle and candidate frames are multi-consumer (signatures + both
     sides of the Jaccard verify; pairs feed intersection AND the final join),
