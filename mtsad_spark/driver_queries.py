@@ -43,12 +43,14 @@ def _ensure_fixtures() -> None:
     from mtsad_spark.fixture_cache import (
         ensure_arff_fixture,
         ensure_mat_fixture,
+        ensure_pca_fixture,
         ensure_seqfix,
     )
 
     ensure_seqfix()  # lazy: shared fixtures must exist before either engine
     ensure_arff_fixture()  # evaluates (see fixture_cache module docstring)
     ensure_mat_fixture()
+    ensure_pca_fixture()
 
 
 def queries() -> dict[str, QueryFn]:
@@ -1580,16 +1582,35 @@ def ensemble_vote_1h(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "l1", "l2", "l3", "vote")
 
 
-@_q("pca_uts_embeddings", None)
-def pca_uts_embeddings(spark, sf_dir):
-    """MTS→UTS reduction over the embedding table's first 4 dims."""
+@_q(
+    "pca_uts_fixture",
+    """
+    WITH s AS (SELECT avg(v0) AS m0, stddev_pop(v0) AS s0,
+                      avg(v1) AS m1, stddev_pop(v1) AS s1,
+                      avg(v2) AS m2, stddev_pop(v2) AS s2,
+                      avg(v3) AS m3, stddev_pop(v3) AS s3
+               FROM read_parquet('/root/repo/.fixture_cache/pca_fixture.parquet')),
+         w AS (SELECT * FROM read_parquet('/root/repo/.fixture_cache/pca_components.parquet'))
+    SELECT fid, round(((f.v0 - m0) / s0) * w0 + ((f.v1 - m1) / s1) * w1
+                    + ((f.v2 - m2) / s2) * w2 + ((f.v3 - m3) / s3) * w3, 6) AS uts
+    FROM read_parquet('/root/repo/.fixture_cache/pca_fixture.parquet') f, s, w
+    """,
+)
+def pca_uts_fixture(spark, sf_dir):
+    """MTS→UTS PCA reduction (reduce_dims.pca_to_uts: z-norm → Spark ML PCA
+    k=1 → sign-pinned projection), oracled end-to-end: the oracle projects
+    the SAME shared-parquet frame onto the first eigenvector computed
+    INDEPENDENTLY in numpy (fixture_cache.ensure_pca_fixture) — the two
+    solvers agree to ~1e-13 on a well-separated 4×4 eigenproblem, so the
+    round-to-6 projections hash-match. Replaces the rows-only
+    pca_uts_embeddings (same operator, deterministic fixture input)."""
+    from mtsad_spark.fixture_cache import ensure_pca_fixture
     from mtsad_spark.operators.reduce_dims import pca_to_uts
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", *[F.col("embedding").getItem(i).cast("double").alias(f"v{i}") for i in range(4)]
-    )
-    out = pca_to_uts(emb, [f"v{i}" for i in range(4)])
-    return out.select("vec_id", F.round("uts", 6).alias("uts"))
+    fix, _ = ensure_pca_fixture()
+    df = spark.read.parquet(fix)
+    out = pca_to_uts(df, ["v0", "v1", "v2", "v3"])
+    return out.select("fid", F.round("uts", 6).alias("uts"))
 
 
 @_q(

@@ -115,6 +115,48 @@ def ensure_arff_fixture() -> tuple[str, str]:
     return ARFF_PATH, ARFF_ORACLE_PATH
 
 
+PCA_FIX_PATH = f"{CACHE_DIR}/pca_fixture.parquet"
+PCA_COMP_PATH = f"{CACHE_DIR}/pca_components.parquet"
+
+
+def ensure_pca_fixture() -> tuple[str, str]:
+    """Deterministic 4-column correlated-gaussian frame plus the EXPECTED
+    first principal component computed INDEPENDENTLY in numpy:
+    population-std z-norm → covariance → eigh → top eigenvector, sign pinned
+    so the largest-|loading| is positive — the same convention
+    reduce_dims.pca_to_uts applies to Spark ML's PCA. The mixing matrix is
+    chosen so the top two eigenvalues are well separated (gap ≫ 1), making
+    the eigenvector stable: Spark and numpy solve the same symmetric 4×4
+    problem from covariance matrices that differ only in summation order
+    (~1e-15), so loadings agree to ~1e-13 — far inside the round-to-6
+    comparison the oracle applies to the projection."""
+    if os.path.exists(PCA_FIX_PATH) and os.path.exists(PCA_COMP_PATH):
+        return PCA_FIX_PATH, PCA_COMP_PATH
+    import pandas as pd
+
+    rng = np.random.RandomState(999)
+    n = 2000
+    latent = rng.randn(n, 2)
+    mix = np.array([[1.0, 0.2], [0.8, -0.4], [0.5, 0.9], [-0.3, 0.7]])
+    X = latent @ mix.T + 0.1 * rng.randn(n, 4)
+    pdf = pd.DataFrame(X, columns=["v0", "v1", "v2", "v3"])
+    pdf.insert(0, "fid", np.arange(n, dtype=np.int64))
+    Z = (X - X.mean(axis=0)) / X.std(axis=0)  # ddof=0, like operators.stats.znorm
+    evals, evecs = np.linalg.eigh(np.cov(Z, rowvar=False))
+    v = evecs[:, -1]
+    if abs(v.min()) > abs(v.max()):
+        v = -v
+    comp = pd.DataFrame([v], columns=["w0", "w1", "w2", "w3"])
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{PCA_FIX_PATH}.tmp.{os.getpid()}"
+    pdf.to_parquet(tmp)
+    os.replace(tmp, PCA_FIX_PATH)
+    tmp = f"{PCA_COMP_PATH}.tmp.{os.getpid()}"
+    comp.to_parquet(tmp)
+    os.replace(tmp, PCA_COMP_PATH)
+    return PCA_FIX_PATH, PCA_COMP_PATH
+
+
 MAT_PATH = f"{CACHE_DIR}/gauss_fixture.mat"
 MAT_ORACLE_PATH = f"{CACHE_DIR}/gauss_fixture_expected.parquet"
 
