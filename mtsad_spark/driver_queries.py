@@ -1959,9 +1959,9 @@ def ensemble_stacking_1h(spark, sf_dir):
 
 @_q("media_decode_features", None)
 def media_decode_features(spark, sf_dir):
-    """Multimodal decode seam with REAL codecs: synth PNG/WAV payloads →
-    mapInPandas decode → pixel-histogram / audio-RMS features (video rows
-    exercise the documented stub fallback). Deterministic; no SQL oracle
+    """Multimodal decode seam with REAL codecs for all three modalities:
+    synth PNG/WAV/Y4M payloads → mapInPandas decode → pixel-histogram /
+    audio-RMS / luma-histogram features. Deterministic; no SQL oracle
     (binary codecs)."""
     from mtsad_spark.functions.multimodal import decode_features, synth_media
 
@@ -1970,6 +1970,21 @@ def media_decode_features(spark, sf_dir):
     return out.select(
         "media_id", "kind", "width", "height", "n_bytes",
         F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
+@_q("video_frames_y4m", None)
+def video_frames_y4m(spark, sf_dir):
+    """Video demux path end-to-end: synth Y4M clips → sample_frames (real
+    YUV4MPEG2 parse, frame picked by the stream's own 4 fps clock) →
+    PNG-encoded frames. Deterministic; rows-only (binary codec output isn't
+    SQL-expressible)."""
+    from mtsad_spark.functions.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=30, real_codecs=True)
+    out = sample_frames(media, every_ms=1000)
+    return out.select(
+        "media_id", "frame_idx", "frame_ts_ms", F.md5(F.col("frame")).alias("frame_md5")
     )
 
 

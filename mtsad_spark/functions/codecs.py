@@ -1,11 +1,13 @@
-"""Pure-stdlib+numpy media codecs: PNG (RFC 2083) and WAV (RIFF PCM16).
+"""Pure-stdlib+numpy media codecs: PNG (RFC 2083), WAV (RIFF PCM16), and
+Y4M video (YUV4MPEG2, mjpegtools convention).
 
-The sandbox ships no image/audio libraries, so multimodal.py's decode seam
-was a stub in round 1. These decoders are real: a PNG/WAV payload round-trips
-bit-exactly through decode∘encode. Coverage is the subset a training-data
-pipeline actually stores for fixtures — PNG 8-bit gray/RGB/RGBA without
-interlace, WAV 16-bit PCM — anything else raises and the caller falls back
-to the documented deterministic stub.
+The sandbox ships no image/audio/video libraries, so multimodal.py's decode
+seam was a stub in round 1. These decoders are real: a PNG/WAV/Y4M payload
+round-trips bit-exactly through decode∘encode. Coverage is the subset a
+training-data pipeline actually stores for fixtures — PNG 8-bit
+gray/RGB/RGBA without interlace, WAV 16-bit PCM, Y4M C444 progressive —
+anything else raises and the caller falls back to the documented
+deterministic stub.
 
 Everything here is per-row kernel code executed INSIDE Arrow-batched
 ``mapInPandas`` workers (functions/multimodal.py); nothing touches the driver.
@@ -159,6 +161,66 @@ def encode_wav(rate: int, samples: np.ndarray) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(pcm)) + pcm
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_Y4M_SIG = b"YUV4MPEG2"
+
+
+def is_y4m(data: bytes) -> bool:
+    return bytes(data[:9]) == _Y4M_SIG
+
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (4, 1)) -> bytes:
+    """(N, H, W, 3) uint8 YUV frames → YUV4MPEG2 bytes (C444 planar,
+    progressive, square pixels): stream header, then per frame a FRAME
+    marker followed by the Y, U, V planes."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[3] != 3:
+        raise ValueError(f"expected (N, H, W, 3) frames, got {f.shape}")
+    n, h, w, _ = f.shape
+    header = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode("ascii")
+    parts = [header]
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(f[i].transpose(2, 0, 1).tobytes())  # planar Y, U, V
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes) -> tuple[tuple[int, int], np.ndarray]:
+    """YUV4MPEG2 (C444 8-bit) → ((fps_num, fps_den), (N, H, W, 3) uint8)."""
+    data = bytes(data)
+    if not is_y4m(data):
+        raise ValueError("not a Y4M")
+    nl = data.index(b"\n")
+    w = h = None
+    num, den = 25, 1
+    colorspace = None
+    for tag in data[9:nl].decode("ascii").split():
+        if tag.startswith("W"):
+            w = int(tag[1:])
+        elif tag.startswith("H"):
+            h = int(tag[1:])
+        elif tag.startswith("F"):
+            num, den = (int(x) for x in tag[1:].split(":"))
+        elif tag.startswith("C"):
+            colorspace = tag[1:]
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "444":
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace} (only C444)")
+    fsize = w * h * 3
+    pos, frames = nl + 1, []
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        pos = data.index(b"\n", pos) + 1  # FRAME line may carry params
+        if pos + fsize > len(data):
+            raise ValueError("truncated Y4M frame")
+        planes = np.frombuffer(data, np.uint8, count=fsize, offset=pos).reshape(3, h, w)
+        frames.append(planes.transpose(1, 2, 0))
+        pos += fsize
+    stacked = np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+    return (num, den), stacked
 
 
 def resize_nearest(img: np.ndarray, new_w: int, new_h: int) -> np.ndarray:

@@ -1,11 +1,12 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
-The Spark-side plumbing is real and tested — schemas, Arrow batch shapes,
-``mapInPandas`` iterator contracts, partition sizing — while the actual media
-codecs are STUBBED (this container ships no image/audio libraries): decode
-produces a deterministic fake derived from the bytes when no codec is
-available, so pipelines are testable end-to-end and swap to a real codec
-(PIL/torchaudio/ffmpeg) by replacing one function.
+The Spark-side plumbing — schemas, Arrow batch shapes, ``mapInPandas``
+iterator contracts, partition sizing — runs REAL pure-numpy codecs
+(functions/codecs.py): PNG images, WAV PCM16 audio, Y4M (YUV4MPEG2 C444)
+video; all three round-trip bit-exactly. Unrecognized containers fall back
+to a deterministic stub (md5-seeded fake) so pipelines over codec-less
+fixtures stay exercisable; a production deployment swaps richer codecs
+(PIL/torchaudio/ffmpeg) in behind the same per-row kernel seams.
 
 Design for scale:
   - media blobs never pass through the driver; ``mapInPandas`` streams Arrow
@@ -56,12 +57,12 @@ def synth_media(spark, n: int = 200, seed: int = 42, real_codecs: bool = False) 
     (seed, media_id); metadata is consistent with the payload header.
 
     ``real_codecs=True`` emits REAL containers — images as valid PNGs, audio
-    as valid PCM16 WAVs (functions/codecs.py) — so the decode path runs the
-    actual codec instead of the stub. Video stays a fake container (no
-    pure-numpy video demuxer; that seam remains stubbed by design)."""
+    as valid PCM16 WAVs, video as valid Y4M clips at 4 fps
+    (functions/codecs.py) — so the decode path runs the actual codec instead
+    of the stub."""
 
     def gen():
-        from .codecs import encode_png, encode_wav
+        from .codecs import encode_png, encode_wav, encode_y4m
 
         rng = np.random.RandomState(seed)
         for i in range(n):
@@ -76,6 +77,11 @@ def synth_media(spark, n: int = 200, seed: int = 42, real_codecs: bool = False) 
                 t = np.arange(int(rate * dur / 1000), dtype=np.float64)
                 wave = np.sin(2 * np.pi * (100 + (i % 20) * 10) * t / rate)
                 payload, codec = encode_wav(rate, (wave * 20000).astype("<i2")), "wav"
+            elif real_codecs and kind == "video":
+                w, h = w % 48 + 16, h % 48 + 16  # keep clips fixture-sized
+                n_frames = max(1, dur * 4 // 1000)  # 4 fps
+                frames = rng.randint(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+                payload, codec = encode_y4m(frames, fps=(4, 1)), "y4m"
             else:
                 body = rng.bytes(int(rng.randint(64, 2048)))
                 payload, codec = struct.pack(">II", w, h) + body, "fake"
@@ -103,13 +109,14 @@ def _decode_kernel(payload: bytes, n_features: int = 8) -> np.ndarray:
 
     REAL paths (pure numpy/stdlib, functions/codecs.py): PNG payloads decode
     to pixels → intensity-histogram features; WAV payloads decode to PCM →
-    per-segment RMS features. Both deterministic, unit-norm.
-    FALLBACK (unrecognized container, e.g. the fake video payloads): the
+    per-segment RMS features; Y4M payloads decode to frames → luma-plane
+    histogram over the whole clip. All deterministic, unit-norm.
+    FALLBACK (unrecognized container, e.g. synth_media's fake payloads): the
     round-1 deterministic stub — md5 → seeded PRNG → unit-norm vector — so
     pipelines over codec-less fixtures stay exercisable end-to-end.
     A production deployment swaps richer codecs (PIL/ffmpeg) in here only.
     """
-    from .codecs import decode_png, decode_wav, is_png, is_wav
+    from .codecs import decode_png, decode_wav, decode_y4m, is_png, is_wav, is_y4m
 
     b = bytes(payload)
     if is_png(b):
@@ -124,6 +131,13 @@ def _decode_kernel(payload: bytes, n_features: int = 8) -> np.ndarray:
         x = samples.astype(np.float64).mean(axis=1)
         segs = np.array_split(x, n_features)
         v = np.array([np.sqrt((s * s).mean()) if len(s) else 0.0 for s in segs])
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+    if is_y4m(b):
+        _, frames = decode_y4m(b)
+        luma = frames[:, :, :, 0].astype(np.float64)  # Y plane across the clip
+        hist, _ = np.histogram(luma, bins=n_features, range=(0.0, 256.0))
+        v = hist.astype(np.float64)
         n = np.linalg.norm(v)
         return v / n if n > 0 else v
     digest = hashlib.md5(b).digest()
@@ -202,7 +216,7 @@ def resize_images(df: DataFrame, max_side: int = 64) -> DataFrame:
     return df.filter(F.col("kind") == "image").mapInPandas(fn, schema=_RESIZE_SCHEMA)
 
 
-# --------------------------------------------------------- frame-sample stub
+# --------------------------------------------------------------- frame sample
 
 _FRAME_SCHEMA = StructType(
     [
@@ -215,20 +229,41 @@ _FRAME_SCHEMA = StructType(
 
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """STUB video frame sampling: emits one fake frame per ``every_ms`` of
-    duration (a real impl seeks + decodes). One input row fans out to many
-    output rows — the mapInPandas contract the real kernel shares."""
+    """Video frame sampling, one output row per sampled frame.
+
+    REAL path (Y4M payloads): demux the clip (codecs.decode_y4m), pick the
+    frame at each ``every_ms`` timestamp by the stream's own frame rate, and
+    emit it PNG-encoded — so sampled frames feed straight back into the
+    image decode/resize operators. FALLBACK (unrecognized container): the
+    round-1 deterministic fake frame per ``every_ms`` of the metadata
+    duration. Either way one input row fans out to many output rows — the
+    mapInPandas contract is identical."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .codecs import decode_y4m, encode_png, is_y4m
+
         for pdf in batches:
             rows = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for mid, p, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                b = bytes(p)
+                if is_y4m(b):
+                    (num, den), frames = decode_y4m(b)
+                    clip_ms = len(frames) * 1000.0 * den / num
+                    i, t = 0, 0.0
+                    while t < clip_ms:
+                        src = min(int(t * num / (1000.0 * den)), len(frames) - 1)
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame_ts_ms"].append(int(t))
+                        rows["frame"].append(encode_png(frames[src]))
+                        i, t = i + 1, t + every_ms
+                    continue
                 n = max(1, int(dur) // every_ms)
                 for i in range(n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["frame_ts_ms"].append(i * every_ms)
-                    h = hashlib.md5(bytes(p) + struct.pack(">I", i)).digest()
+                    h = hashlib.md5(b + struct.pack(">I", i)).digest()
                     rows["frame"].append(h)
             yield pd.DataFrame(rows)
 

@@ -384,6 +384,56 @@ def test_wav_codec_roundtrip():
         assert rate == 16000 and (got == s).all()
 
 
+def test_y4m_codec_roundtrip_and_guards():
+    import pytest
+
+    from mtsad_spark.functions.codecs import decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(7, 12, 9, 3), dtype=np.uint8)
+    (num, den), got = decode_y4m(encode_y4m(frames, fps=(30, 1)))
+    assert (num, den) == (30, 1) and (got == frames).all()
+    # FRAME lines may carry parameters after the marker (spec allows)
+    raw = encode_y4m(frames[:1], fps=(4, 1)).replace(b"FRAME\n", b"FRAME Xtag\n")
+    _, got1 = decode_y4m(raw)
+    assert (got1[0] == frames[0]).all()
+    with pytest.raises(ValueError, match="colorspace"):
+        decode_y4m(encode_y4m(frames).replace(b"C444", b"C420"))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(encode_y4m(frames)[:-5])
+
+
+def test_sample_frames_real_y4m(spark):
+    """Real demux path: sampled frames come from the clip's own pixel data
+    (PNG round-trip equals the source frame at the sampled index), the
+    sampling clock follows the stream's frame rate, and fake containers
+    still take the stub fallback in the same query."""
+    import pandas as pd
+
+    from mtsad_spark.functions.codecs import decode_png, decode_y4m, encode_y4m
+    from mtsad_spark.functions.multimodal import MEDIA_SCHEMA, sample_frames
+
+    rng = np.random.RandomState(12)
+    frames = rng.randint(0, 256, size=(10, 8, 8, 3), dtype=np.uint8)  # 2.5 s at 4 fps
+    clip = encode_y4m(frames, fps=(4, 1))
+    rows = [
+        (0, "video", bytearray(clip), 8, 8, 2500, "y4m"),
+        (1, "video", bytearray(b"\x00\x01fake"), 8, 8, 2500, "fake"),
+    ]
+    out = (
+        sample_frames(spark.createDataFrame(rows, schema=MEDIA_SCHEMA), every_ms=1000)
+        .toPandas()
+        .sort_values(["media_id", "frame_idx"])
+    )
+    real = out[out["media_id"] == 0]
+    # clip is 2500 ms → samples at t = 0, 1000, 2000 ms → frames 0, 4, 8
+    assert real["frame_ts_ms"].tolist() == [0, 1000, 2000]
+    for (_, row), src in zip(real.iterrows(), (0, 4, 8)):
+        assert (decode_png(bytes(row["frame"])) == frames[src]).all()
+    stub = out[out["media_id"] == 1]
+    assert len(stub) == 2 and all(len(bytes(f)) == 16 for f in stub["frame"])
+
+
 def test_multimodal_real_codec_path(spark):
     """VERDICT r01 #9: with real PNG/WAV payloads the decode seam runs the
     actual codec (features = pixel/audio statistics, not the hash stub) and
@@ -399,13 +449,9 @@ def test_multimodal_real_codec_path(spark):
     media = synth_media(spark, n=30, real_codecs=True).cache()
     feats = decode_features(media, n_features=8).toPandas()
     assert len(feats) == 30
-    # real-codec features are non-negative statistics (hist/RMS), unlike the
-    # hash stub's signed gaussian draws — check on the image/audio rows
-    real = feats[feats["kind"] != "video"]
-    assert all((np.array(f) >= 0).all() for f in real["features"])
-    # stub still covers the fake-container video rows
-    vid = feats[feats["kind"] == "video"]
-    assert any((np.array(f) < 0).any() for f in vid["features"])
+    # real-codec features are non-negative statistics (hist/RMS/luma-hist)
+    # for ALL modalities now, unlike the hash stub's signed gaussian draws
+    assert all((np.array(f) >= 0).all() for f in feats["features"])
 
     resized = resize_images(media, max_side=32).toPandas()
     for _, row in resized.iterrows():
