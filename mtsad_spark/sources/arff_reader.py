@@ -95,8 +95,16 @@ def parse_arff(text: str) -> tuple[str, list[tuple[str, object]], list[list]]:
             inner = line.strip("{}").strip()
             if inner:
                 for item in _split_csv(inner):
-                    idx_s, val_s = item.split(None, 1)
-                    row[int(idx_s)] = _convert(val_s, attrs[int(idx_s)][1])
+                    parts = item.split(None, 1)
+                    if len(parts) != 2:
+                        raise ValueError(f"malformed sparse ARFF entry {item!r}")
+                    idx = int(parts[0])
+                    if not 0 <= idx < len(attrs):
+                        raise ValueError(
+                            f"sparse ARFF index {idx} out of range "
+                            f"(0..{len(attrs) - 1})"
+                        )
+                    row[idx] = _convert(parts[1], attrs[idx][1])
             rows.append(row)
         else:
             vals = _split_csv(line)

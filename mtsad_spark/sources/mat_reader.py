@@ -37,12 +37,20 @@ _MX_NUMERIC = {6: "f8", 7: "f4", 8: "i1", 9: "u1", 10: "i2", 11: "u2", 12: "i4",
 
 def _read_tag(buf: bytes, pos: int) -> tuple[int, int, int, int]:
     """(mi_type, n_bytes, payload_pos, next_pos) — handles the small-data
-    element format (type in the low 16 bits, length in the high 16)."""
+    element format (type in the low 16 bits, length in the high 16).
+    Raises on tags or payloads running past the buffer (truncated file)."""
+    if pos + 8 > len(buf):
+        raise ValueError(f"truncated MAT element tag at byte {pos}")
     word = struct.unpack_from("<I", buf, pos)[0]
     if word >> 16:  # small data element: ≤4 payload bytes inside the tag
         return word & 0xFFFF, word >> 16, pos + 4, pos + 8
     n = struct.unpack_from("<I", buf, pos + 4)[0]
     payload = pos + 8
+    if payload + n > len(buf):
+        raise ValueError(
+            f"truncated MAT element at byte {pos}: "
+            f"payload of {n} bytes exceeds buffer ({len(buf)} bytes)"
+        )
     nxt = payload + ((n + 7) // 8) * 8
     return word, n, payload, nxt
 
@@ -50,7 +58,8 @@ def _read_tag(buf: bytes, pos: int) -> tuple[int, int, int, int]:
 def _parse_matrix(buf: bytes, pos: int, end: int) -> tuple[str, np.ndarray]:
     # array flags (miUINT32, 8 bytes)
     t, n, p, pos = _read_tag(buf, pos)
-    assert t == _MI_UINT32 and n == 8, "malformed array-flags element"
+    if t != _MI_UINT32 or n != 8:
+        raise ValueError(f"malformed array-flags element (mi_type={t}, n={n})")
     flags = struct.unpack_from("<I", buf, p)[0]
     mx_class = flags & 0xFF
     if flags & 0x0800 or flags & 0x1000:
@@ -59,15 +68,23 @@ def _parse_matrix(buf: bytes, pos: int, end: int) -> tuple[str, np.ndarray]:
         raise ValueError(f"unsupported mxCLASS {mx_class} (numeric matrices only)")
     # dimensions (miINT32)
     t, n, p, pos = _read_tag(buf, pos)
-    assert t == _MI_INT32, "malformed dimensions element"
+    if t != _MI_INT32:
+        raise ValueError(f"malformed dimensions element (mi_type={t})")
     dims = np.frombuffer(buf, dtype="<i4", count=n // 4, offset=p)
     # name (miINT8)
     t, n, p, pos = _read_tag(buf, pos)
-    assert t == _MI_INT8, "malformed name element"
+    if t != _MI_INT8:
+        raise ValueError(f"malformed name element (mi_type={t})")
     name = bytes(buf[p : p + n]).decode("ascii")
     # real part (any mi numeric type; MATLAB may store doubles compactly)
     t, n, p, pos = _read_tag(buf, pos)
+    if t not in _MI_DTYPES:
+        raise ValueError(f"unsupported mi data type {t} in real part")
     stored = np.frombuffer(buf, dtype=_MI_DTYPES[t], count=n // np.dtype(_MI_DTYPES[t]).itemsize, offset=p)
+    if len(stored) != int(np.prod(dims)):
+        raise ValueError(
+            f"MAT real part holds {len(stored)} values for dims {tuple(dims)}"
+        )
     arr = stored.astype(_MX_NUMERIC[mx_class]).reshape(tuple(dims), order="F")
     return name, arr
 

@@ -248,3 +248,74 @@ def test_mat5_reader_small_element_and_uncompressed(tmp_path):
     p.write_bytes(header + matrix)
     got = load_mat(str(p))
     assert (got["A"] == arr).all()
+
+
+def test_arff_malformed_inputs_fail_loudly():
+    """VERDICT r02 next #8: the clean-room parser must reject malformed
+    input with specific errors, not mis-parse silently."""
+    import pytest
+
+    from mtsad_spark.sources.arff_reader import parse_arff
+
+    head = "@RELATION r\n@ATTRIBUTE a NUMERIC\n@ATTRIBUTE c {x,y}\n@DATA\n"
+    # sparse index out of range
+    with pytest.raises(ValueError, match="out of range"):
+        parse_arff(head + "{5 1.0}\n")
+    # sparse entry without a value
+    with pytest.raises(ValueError, match="malformed sparse"):
+        parse_arff(head + "{0}\n")
+    # unquoted nominal value containing a comma -> arity mismatch
+    with pytest.raises(ValueError, match="arity"):
+        parse_arff(head + "1.0,x,y\n")
+    # unsupported attribute type
+    with pytest.raises(ValueError, match="unsupported ARFF attribute type"):
+        parse_arff("@RELATION r\n@ATTRIBUTE d DATE yyyy\n@DATA\n")
+
+
+def test_mat5_malformed_inputs_fail_loudly(tmp_path):
+    import struct
+
+    import pytest
+
+    from mtsad_spark.sources.mat_reader import load_mat, save_mat
+
+    p = str(tmp_path / "t.mat")
+    save_mat(p, {"X": np.arange(12.0).reshape(3, 4)})
+    good = open(p, "rb").read()
+
+    def write(b: bytes) -> str:
+        q = str(tmp_path / "bad.mat")
+        open(q, "wb").write(b)
+        return q
+
+    # short header
+    with pytest.raises(ValueError, match="short header"):
+        load_mat(write(good[:64]))
+    # big-endian marker
+    swapped = good[:126] + b"MI" + good[128:]
+    with pytest.raises(ValueError, match="big-endian"):
+        load_mat(write(swapped))
+    # truncated top-level element payload (cut inside the compressed blob)
+    with pytest.raises(ValueError, match="truncated MAT element"):
+        load_mat(write(good[:-16]))
+    # truncated INNER element: craft an uncompressed matrix whose real-part
+    # tag announces more bytes than the buffer holds
+    def element(mi_type, payload):
+        pad = (-len(payload)) % 8
+        return struct.pack("<II", mi_type, len(payload)) + payload + b"\x00" * pad
+
+    body = element(6, struct.pack("<II", 6, 0))          # array flags
+    body += element(5, struct.pack("<ii", 2, 2))         # dims 2x2
+    body += element(1, b"X")                             # name
+    body += struct.pack("<II", 9, 4 * 8)                 # real tag: 32 bytes...
+    body += b"\x00" * 8                                  # ...but only 8 present
+    header = good[:128]
+    with pytest.raises(ValueError, match="truncated MAT element"):
+        load_mat(write(header + element(14, body)))
+    # real part shorter than dims claim (consistent tags, wrong count)
+    body2 = element(6, struct.pack("<II", 6, 0))
+    body2 += element(5, struct.pack("<ii", 3, 3))        # dims say 9 values
+    body2 += element(1, b"X")
+    body2 += element(9, struct.pack("<4d", 1, 2, 3, 4))  # only 4 doubles
+    with pytest.raises(ValueError, match="holds 4 values"):
+        load_mat(write(header + element(14, body2)))
