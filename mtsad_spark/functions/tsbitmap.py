@@ -66,12 +66,25 @@ def _ngram_codes(sym: np.ndarray, level: int, base: int) -> np.ndarray:
     return codes
 
 
+def _check_fw_level(fw: int, level: int) -> None:
+    """A feature window shorter than the n-gram has no complete n-gram to
+    count: the slice arithmetic (ws : ws+fw-level+1) would wrap to a negative
+    stop and silently mark nearly every position counted, breaking the
+    incremental-equals-recount contract (ADVICE r02). Reject loudly."""
+    if fw < level:
+        raise ValueError(
+            f"feature_window_size ({fw}) must be >= level_size ({level}): "
+            "a feature window must hold at least one complete n-gram"
+        )
+
+
 def _chunk_bitmap(
     codes: np.ndarray, start: int, size: int, fw: int, level: int, space: int
 ) -> np.ndarray:
     """Max-normalized dense bitmap of chunk [start, start+size): n-grams
     counted within the chunk's OWN feature-window segmentation (full windows
     then the tail), per tsbitmapper.py:130-157."""
+    _check_fw_level(fw, level)
     counts = np.zeros(space, dtype=np.int64)
     full_end = start + size - size % fw
     for ws in range(start, full_end, fw):
@@ -99,6 +112,7 @@ def _counted_pattern(size: int, fw: int, level: int) -> tuple[np.ndarray, np.nda
     :func:`_chunk_bitmap`'s; normalization happens at distance time, keeping
     the paper-correct per-chunk max-normalization this module deliberately
     chose over the reference's normalize-then-mutate drift."""
+    _check_fw_level(fw, level)
     m = size - level + 1
     if m <= 0:
         z = np.zeros(0, dtype=np.int64)
@@ -226,6 +240,7 @@ def bitmap_scores_supervised(
     corpus-sized), then each test key group scores in one pandas kernel.
     A hard row cap guards the driver: exceeding it means the caller is
     pointing a corpus at a reference-data seam."""
+    _check_fw_level(feature_window_size, level_size)  # raise at plan time
     max_train_rows = 5_000_000  # ~120 MB of (key, ts, double) — driver-safe
     n_train = train_df.count()
     if n_train > max_train_rows:
@@ -279,6 +294,7 @@ def bitmap_scores(
     q: float = 99.7,
 ) -> DataFrame:
     """applyInPandas wrapper: one kernel group per series key."""
+    _check_fw_level(feature_window_size, level_size)  # raise at plan time
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField("score", DoubleType()), StructField("label", IntegerType())]

@@ -64,6 +64,22 @@ def test_feat_window_excludes_cross_window_ngrams():
     assert set(nz.tolist()) == {enc(0, 0, 0), enc(1, 1, 1)}
 
 
+def test_bitmap_rejects_feature_window_shorter_than_ngram():
+    """ADVICE r02: fw < level would wrap the counted-slice stop negative and
+    silently diverge the incremental path from the recount path — the
+    degenerate config must raise, at the kernel AND at plan time."""
+    import pytest
+
+    from mtsad_spark.functions.tsbitmap import _chunk_bitmap, _counted_pattern, bitmap_scores_series
+
+    with pytest.raises(ValueError, match="must be >= level_size"):
+        _counted_pattern(100, 1, 3)
+    with pytest.raises(ValueError, match="must be >= level_size"):
+        _chunk_bitmap(np.zeros(50, dtype=np.int64), 0, 50, 2, 3, 216)
+    with pytest.raises(ValueError, match="must be >= level_size"):
+        bitmap_scores_series(np.sin(np.arange(600) / 10), 2, 5, 3, 200, 100)
+
+
 def test_bitmap_scores_bounded_outcome_random():
     """fit_predict on random data: anomaly count bounded (mirror of
     test_tsbitmaps.py:38-42 asserting 0 < n ≤ 25 on 500 random points)."""
