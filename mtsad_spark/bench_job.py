@@ -23,11 +23,28 @@ from __future__ import annotations
 import argparse
 import json
 import time
+import urllib.request
 from functools import reduce
 
 from pyspark.sql import functions as F
 
 from mtsad_spark.session import get_spark
+
+
+def _stage_run_times(spark) -> dict[str, int] | None:
+    """{(stageId.attempt): executorRunTime ms} for completed stages, via the
+    UI REST API — the sum over the timed section is the work the executors
+    actually did, independent of how much CPU the host granted. Returns None
+    when the UI is unavailable (callers treat task-time as best-effort)."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            stages = json.loads(r.read())
+        return {f"{s['stageId']}.{s['attemptId']}": s["executorRunTime"] for s in stages}
+    except Exception:
+        return None
 
 
 def content_hash_row(df, name: str):
@@ -57,7 +74,12 @@ def main() -> None:
         f"scaling-bench-{args.cores}",
         master=f"local[{args.cores}]",
         shuffle_partitions=args.cores,
-        extra_confs={"spark.sql.files.maxPartitionBytes": args.max_partition_bytes},
+        extra_confs={
+            "spark.sql.files.maxPartitionBytes": args.max_partition_bytes,
+            # UI on for this job only: the REST API is where executor task
+            # time comes from (scaling evidence independent of host grant)
+            "spark.ui.enabled": "true",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -83,6 +105,7 @@ def main() -> None:
     seq = spark.read.parquet(args.input)
     n_rows = seq.count()
 
+    pre_stages = _stage_run_times(spark)
     t0 = time.time()
     finalized, partials = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
     partials["1m"].persist().count()  # job 1: the data-proportional scan+agg
@@ -107,6 +130,13 @@ def main() -> None:
     rows = hashed.collect()  # job 2: every downstream lineage, one action
     wall = time.time() - t0
 
+    post_stages = _stage_run_times(spark)
+    task_time_s = None
+    if pre_stages is not None and post_stages is not None:
+        task_time_s = round(
+            sum(v for k, v in post_stages.items() if k not in pre_stages) / 1000.0, 3
+        )
+
     print(
         json.dumps(
             {
@@ -115,6 +145,12 @@ def main() -> None:
                 "wall_s": round(wall, 3),
                 "scan_s": round(t_scan, 3),
                 "rows_per_sec": round(n_rows / wall, 1),
+                # executor work in the timed section: at perfect scaling this
+                # is constant across core counts while wall drops 4x
+                "task_time_s": task_time_s,
+                "utilization": round(task_time_s / (wall * args.cores), 3)
+                if task_time_s is not None
+                else None,
                 "tier_hashes": {r["output"]: r["content_hash"] for r in rows},
             }
         )

@@ -66,7 +66,10 @@ def run(cmd: list[str]) -> dict:
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_SEQ_ROWS", "768000000"))
+    # default sized for >= 60 s wall at local[32] (VERDICT r02 next #7: the
+    # 8->32 supplementary window at 768M rows ran ~37 s, letting the ~6 s
+    # fixed per-job cost read as poor scaling)
+    rows = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("BENCH_SEQ_ROWS", "1536000000"))
     workdir = os.environ.get("BENCH_WORKDIR", tempfile.mkdtemp(prefix="mtsad-scaling-"))
     input_dir = os.path.join(workdir, "sequences")
 
@@ -108,16 +111,21 @@ def main() -> None:
         }
 
     w28, w832 = window(2, 8), window(8, 32)
-    # the north rule asks to DEMONSTRATE ≥0.8 between two cluster sizes; the
-    # demonstration window is the one with the better raw efficiency — the
-    # other is reported as supplementary with its capacity analysis (this
-    # host's grant swings by the hour, so neither window is a-priori "the"
-    # honest one; both numbers + both calibrations are always in the table)
-    primary = w28 if w28["eff_raw"] >= w832["eff_raw"] else w832
+    # the demonstration window is PINNED to 2→8 (ADVICE r02: a post-hoc
+    # best-of pick would make the headline non-comparable across rounds);
+    # this host reliably grants ~4× CPU from 2 to 8 threads, while the 8→32
+    # grant swings by the hour — 8→32 is always reported as supplementary
+    # with its own calibration
+    primary = w28
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    def fmt_tt(r: dict) -> str:
+        tt, ut = r.get("task_time_s"), r.get("utilization")
+        return f"{tt:,.0f} | {ut:.2f}" if tt is not None else "n/a | n/a"
+
     rows_line = "\n".join(
-        f"| local[{n}] | {results[n]['wall_s']} | {results[n]['rows_per_sec']:,.0f} |"
+        f"| local[{n}] | {results[n]['wall_s']} | {results[n]['rows_per_sec']:,.0f} | "
+        f"{fmt_tt(results[n])} |"
         for n in LEVELS
     )
     probe_line = "\n".join(
@@ -141,9 +149,15 @@ trials per level.
 Input: {rows:,} synthesized tokenized-sequence rows (fixtures.sequences,
 seed=42, 7 days of 1m buckets, skewed sources) as parquet.
 
-| parallelism | wall (s) | throughput (sequences/sec) |
-|---|---|---|
+| parallelism | wall (s) | throughput (sequences/sec) | executor task-time sum (s) | utilization |
+|---|---|---|---|---|
 {rows_line}
+
+Task-time sum is the executors' measured work in the timed section (UI REST
+`executorRunTime`): at perfect scaling it stays constant across levels while
+wall drops 4× — so wall-efficiency shortfalls decompose into (task-time
+growth = engine overhead) vs (idle gap = host CPU grant + fixed job cost).
+Utilization = task_time / (wall × cores).
 
 ## Scaling windows (both reported; see calibration below)
 
