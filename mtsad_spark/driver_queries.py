@@ -42,6 +42,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _ensure_fixtures() -> None:
     from mtsad_spark.fixture_cache import (
         ensure_arff_fixture,
+        ensure_kpca_fixture,
         ensure_mat_fixture,
         ensure_pca_fixture,
         ensure_seqfix,
@@ -51,6 +52,7 @@ def _ensure_fixtures() -> None:
     ensure_arff_fixture()  # evaluates (see fixture_cache module docstring)
     ensure_mat_fixture()
     ensure_pca_fixture()
+    ensure_kpca_fixture()
 
 
 def queries() -> dict[str, QueryFn]:
@@ -1614,6 +1616,52 @@ def pca_uts_fixture(spark, sf_dir):
 
 
 @_q(
+    "kpca_uts_fixture",
+    """
+    WITH k AS (
+      SELECT f.fid,
+             sum(c.c * exp(-c.gamma * ((f.v0 - c.l0) * (f.v0 - c.l0)
+                                     + (f.v1 - c.l1) * (f.v1 - c.l1)
+                                     + (f.v2 - c.l2) * (f.v2 - c.l2)
+                                     + (f.v3 - c.l3) * (f.v3 - c.l3)))) AS uts
+      FROM read_parquet('/root/repo/.fixture_cache/pca_fixture.parquet') f
+      CROSS JOIN read_parquet('/root/repo/.fixture_cache/kpca_components.parquet') c
+      GROUP BY f.fid)
+    SELECT fid, round(uts, 6) AS uts FROM k
+    """,
+)
+def kpca_uts_fixture(spark, sf_dir):
+    """Nyström RBF kernel-PCA reduction (reduce_dims.kernel_pca_to_uts:
+    m exp-feature columns → A = K(L,L)^{-1/2} map → distributed linear PCA),
+    oracled via the closed form uts = Σ_j c_j·exp(-γ‖x−l_j‖²) with weights
+    computed independently in numpy (fixture_cache.ensure_kpca_fixture).
+    Landmarks = the fixture's first 8 rows so both engines see identical
+    bytes; standardize=False keeps the oracle a pure kernel sum."""
+    import pandas as pd
+
+    from mtsad_spark.fixture_cache import (
+        KPCA_GAMMA,
+        KPCA_LANDMARKS,
+        ensure_kpca_fixture,
+    )
+    from mtsad_spark.operators.reduce_dims import kernel_pca_to_uts
+
+    fix, _ = ensure_kpca_fixture()
+    land = (
+        pd.read_parquet(fix)
+        .sort_values("fid")
+        .head(KPCA_LANDMARKS)[["v0", "v1", "v2", "v3"]]
+        .to_numpy()
+    )
+    df = spark.read.parquet(fix)
+    out = kernel_pca_to_uts(
+        df, ["v0", "v1", "v2", "v3"], landmarks=land, gamma=KPCA_GAMMA,
+        standardize=False,
+    )
+    return out.select("fid", F.round("uts", 6).alias("uts"))
+
+
+@_q(
     "mae_residual_multidim",
     """
     WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
@@ -2053,6 +2101,7 @@ _PRIORITY = [
     "minhash_md5_docs",
     "minhash_md5_band_pairs",
     "pca_uts_fixture",
+    "kpca_uts_fixture",
     "video_frames_y4m",
     # r1-green but rotated out of the r2 window — refresh their rows
     "simhash_dup_pairs_docs",

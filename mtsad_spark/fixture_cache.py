@@ -157,6 +157,50 @@ def ensure_pca_fixture() -> tuple[str, str]:
     return PCA_FIX_PATH, PCA_COMP_PATH
 
 
+KPCA_COMP_PATH = f"{CACHE_DIR}/kpca_components.parquet"
+KPCA_GAMMA = 0.25
+KPCA_LANDMARKS = 8  # fid < 8 of the pca fixture
+
+
+def ensure_kpca_fixture() -> tuple[str, str]:
+    """EXPECTED Nyström-KPCA projection weights, computed INDEPENDENTLY in
+    numpy over the shared pca fixture (landmarks = its first 8 rows,
+    γ = 0.25, no standardization): uts(x) = Σ_j c_j·exp(-γ‖x−l_j‖²) with
+    c = K(L,L)^{-1/2}·v, v the sign-pinned top eigenvector of the feature
+    map's covariance — the closed form of what kernel_pca_to_uts assembles
+    as Spark expressions + ml.PCA. Stored per-landmark (c_j, l_j, γ) so the
+    DuckDB oracle is one CROSS JOIN + sum of exp terms."""
+    fix_path, _ = ensure_pca_fixture()
+    if os.path.exists(KPCA_COMP_PATH):
+        return fix_path, KPCA_COMP_PATH
+    import pandas as pd
+
+    pdf = pd.read_parquet(fix_path).sort_values("fid")
+    X = pdf[["v0", "v1", "v2", "v3"]].to_numpy()
+    L = X[:KPCA_LANDMARKS]
+    g = KPCA_GAMMA
+    d2_ll = ((L[:, None, :] - L[None, :, :]) ** 2).sum(axis=2)
+    vals, vecs = np.linalg.eigh(np.exp(-g * d2_ll))
+    inv = np.where(vals > 1e-12, 1.0 / np.sqrt(np.clip(vals, 1e-12, None)), 0.0)
+    A = (vecs * inv) @ vecs.T
+    d2_xl = ((X[:, None, :] - L[None, :, :]) ** 2).sum(axis=2)
+    phi = np.exp(-g * d2_xl) @ A
+    evals, evecs = np.linalg.eigh(np.cov(phi, rowvar=False))
+    v = evecs[:, -1]
+    if abs(v.min()) > abs(v.max()):
+        v = -v
+    c = A @ v
+    comp = pd.DataFrame(
+        {"j": np.arange(len(L)), "c": c, "gamma": g,
+         **{f"l{i}": L[:, i] for i in range(L.shape[1])}}
+    )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{KPCA_COMP_PATH}.tmp.{os.getpid()}"
+    comp.to_parquet(tmp)
+    os.replace(tmp, KPCA_COMP_PATH)
+    return fix_path, KPCA_COMP_PATH
+
+
 MAT_PATH = f"{CACHE_DIR}/gauss_fixture.mat"
 MAT_ORACLE_PATH = f"{CACHE_DIR}/gauss_fixture_expected.parquet"
 

@@ -39,6 +39,74 @@ def test_pca_to_uts_vs_numpy(spark):
     assert abs(np.corrcoef(np.abs(got), np.abs(base))[0, 1]) > 0.9
 
 
+def test_kernel_pca_nystrom_exact_at_full_landmarks(spark):
+    """With m = n landmarks the Nyström map spans the full kernel feature
+    space, so the first component must match exact (classical) RBF kernel
+    PCA up to sign/scale — checked by |pearson| ≈ 1 against a from-scratch
+    numpy KPCA (center K, eigh, project). Also guards the JVM-only plan:
+    the kernel feature map is column expressions, not Python."""
+    rng = np.random.RandomState(21)
+    n = 120
+    theta = rng.rand(n) * 2 * np.pi  # a ring: linearly inseparable, KPCA's home turf
+    x = np.c_[np.cos(theta), np.sin(theta)] * (1 + 0.05 * rng.randn(n, 2))
+    pdf = pd.DataFrame({"idx": range(n), "v0": x[:, 0], "v1": x[:, 1]})
+
+    from mtsad_spark.operators.reduce_dims import kernel_pca_to_uts
+
+    df = spark.createDataFrame(pdf)
+    g = 0.5
+    q = kernel_pca_to_uts(
+        df, ["v0", "v1"], landmarks=x, gamma=g, standardize=False
+    )
+    plan = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    got = q.orderBy("idx").toPandas()["uts"].values
+
+    # classical KPCA oracle: center the full kernel matrix, top eigenvector
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(axis=2)
+    K = np.exp(-g * d2)
+    one = np.ones((n, n)) / n
+    Kc = K - one @ K - K @ one + one @ K @ one
+    vals, vecs = np.linalg.eigh(Kc)
+    scores = Kc @ vecs[:, -1]
+    r = np.corrcoef(got, scores)[0, 1]
+    # bound leaves room for the K^{-1/2} near-null clip (~sqrt(1e-12))
+    assert abs(r) > 1 - 1e-6, r
+
+
+def test_kernel_pca_landmark_subset_approximates(spark):
+    """m ≪ n landmarks: the Nyström first component still tracks the exact
+    one on smooth data (the documented trade), and pick_landmarks is a
+    deterministic seeded sample."""
+    rng = np.random.RandomState(22)
+    n = 400
+    base = rng.randn(n)
+    pdf = pd.DataFrame(
+        {"idx": range(n), "v0": base + 0.1 * rng.randn(n), "v1": np.sin(base)}
+    )
+    from mtsad_spark.operators.reduce_dims import kernel_pca_to_uts, pick_landmarks
+
+    df = spark.createDataFrame(pdf)
+    l1 = pick_landmarks(df, ["v0", "v1"], 12, seed=7)
+    l2 = pick_landmarks(df, ["v0", "v1"], 12, seed=7)
+    assert (l1 == l2).all()
+    x = pdf[["v0", "v1"]].values
+    got = (
+        kernel_pca_to_uts(df, ["v0", "v1"], n_landmarks=24, gamma=0.5, seed=7)
+        .orderBy("idx")
+        .toPandas()["uts"]
+        .values
+    )
+    z = (x - x.mean(0)) / x.std(0)  # standardize=True default mirrors znorm
+    d2 = ((z[:, None, :] - z[None, :, :]) ** 2).sum(axis=2)
+    K = np.exp(-0.5 * d2)
+    one = np.ones((n, n)) / n
+    Kc = K - one @ K - K @ one + one @ K @ one
+    vals, vecs = np.linalg.eigh(Kc)
+    scores = Kc @ vecs[:, -1]
+    assert abs(np.corrcoef(got, scores)[0, 1]) > 0.98
+
+
 def test_majority_vote_and_stack(spark):
     pdf = pd.DataFrame(
         {
