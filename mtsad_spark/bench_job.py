@@ -31,18 +31,24 @@ from pyspark.sql import functions as F
 from mtsad_spark.session import get_spark
 
 
-def _stage_run_times(spark) -> dict[str, int] | None:
-    """{(stageId.attempt): executorRunTime ms} for completed stages, via the
-    UI REST API — the sum over the timed section is the work the executors
-    actually did, independent of how much CPU the host granted. Returns None
-    when the UI is unavailable (callers treat task-time as best-effort)."""
+def _stage_run_times(spark) -> dict[str, tuple[int, int]] | None:
+    """{(stageId.attempt): (executorRunTime ms, executorCpuTime ns)} for
+    completed stages, via the UI REST API. Over the timed section:
+    CPU-time sum = the work the engine actually did (constant across
+    parallelism levels if the plans scale); run-time sum additionally
+    absorbs per-thread slowdown when the host oversubscribes/throttles
+    (this VM's documented grant swing). Returns None when the UI is
+    unavailable (callers treat these as best-effort)."""
     try:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
         url = f"{base}/api/v1/applications/{app}/stages?status=complete"
         with urllib.request.urlopen(url, timeout=10) as r:
             stages = json.loads(r.read())
-        return {f"{s['stageId']}.{s['attemptId']}": s["executorRunTime"] for s in stages}
+        return {
+            f"{s['stageId']}.{s['attemptId']}": (s["executorRunTime"], s["executorCpuTime"])
+            for s in stages
+        }
     except Exception:
         return None
 
@@ -131,11 +137,11 @@ def main() -> None:
     wall = time.time() - t0
 
     post_stages = _stage_run_times(spark)
-    task_time_s = None
+    task_time_s = task_cpu_s = None
     if pre_stages is not None and post_stages is not None:
-        task_time_s = round(
-            sum(v for k, v in post_stages.items() if k not in pre_stages) / 1000.0, 3
-        )
+        new = [v for k, v in post_stages.items() if k not in pre_stages]
+        task_time_s = round(sum(v[0] for v in new) / 1e3, 3)
+        task_cpu_s = round(sum(v[1] for v in new) / 1e9, 3)
 
     print(
         json.dumps(
@@ -145,9 +151,11 @@ def main() -> None:
                 "wall_s": round(wall, 3),
                 "scan_s": round(t_scan, 3),
                 "rows_per_sec": round(n_rows / wall, 1),
-                # executor work in the timed section: at perfect scaling this
-                # is constant across core counts while wall drops 4x
+                # executor work in the timed section: at perfect scaling
+                # task_cpu_s is constant across core counts while wall drops
+                # 4x; task_time_s - task_cpu_s exposes host throttling
                 "task_time_s": task_time_s,
+                "task_cpu_s": task_cpu_s,
                 "utilization": round(task_time_s / (wall * args.cores), 3)
                 if task_time_s is not None
                 else None,
