@@ -167,7 +167,7 @@ def main() -> None:
         if m:
             out["scaling_efficiency_n_to_4n"] = float(m.group(1))
             out["scaling_evidence"] = "BENCH/BASELINE.md"
-        m = re.search(r"capacity-normalized ([0-9.]+)", md)
+        m = re.search(r"raw / ([0-9.]+)\s*\ncapacity-normalized", md)
         if m:
             out["scaling_efficiency_capacity_normalized"] = float(m.group(1))
     except OSError:
