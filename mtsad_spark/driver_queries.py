@@ -1232,6 +1232,37 @@ def simhash_md5_docs(spark, sf_dir):
     return agg.select("doc_id", sig.alias("simhash60"))
 
 
+_SH60_PAIRS_SQL = (
+    "WITH sig AS (" + _SH60_SQL + "), "
+    "ck AS (SELECT doc_id, simhash60, "
+    + ", ".join(f"(simhash60 >> {16 * c}) & 65535 AS c{c}" for c in range(4))
+    + " FROM sig), "
+    "cand AS ("
+    + " UNION ".join(
+        f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash60 AS sa, b.simhash60 AS sb"
+        f" FROM ck a JOIN ck b ON a.c{c} = b.c{c} AND a.doc_id < b.doc_id"
+        for c in range(4)
+    )
+    + ") "
+    "SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming "
+    "FROM cand WHERE bit_count(xor(sa, sb)) <= 3"
+)
+
+
+@_q("simhash_md5_dup_pairs", _SH60_PAIRS_SQL)
+def simhash_md5_dup_pairs(spark, sf_dir):
+    """The SimHash PAIR stage oracled cross-engine: chunk-pigeonhole
+    candidate buckets (4×16-bit chunks guarantee recall for hamming ≤ 3)
+    + exact popcount verify, over the portable 60-bit md5 signatures —
+    the identical operators.dedup.simhash_dup_pairs code path the
+    production query runs on xxhash64 signatures at max_hamming=8."""
+    from mtsad_spark.operators.dedup import simhash_dup_pairs
+
+    sigs = simhash_md5_docs(spark, sf_dir).withColumnRenamed("simhash60", "simhash")
+    out = simhash_dup_pairs(sigs, "doc_id", max_hamming=3)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @_q("simhash_docs", None)
 def simhash_docs(spark, sf_dir):
     """No SQL oracle: xxhash64 is Spark-specific; the vote/sign/assembly
@@ -2100,6 +2131,7 @@ _PRIORITY = [
     # (c) new this round (registered above/below; missing names are skipped)
     "minhash_md5_docs",
     "minhash_md5_band_pairs",
+    "simhash_md5_dup_pairs",
     "pca_uts_fixture",
     "kpca_uts_fixture",
     "video_frames_y4m",
