@@ -38,17 +38,32 @@ def _stage_run_times(spark) -> dict[str, tuple[int, int]] | None:
     parallelism levels if the plans scale); run-time sum additionally
     absorbs per-thread slowdown when the host oversubscribes/throttles
     (this VM's documented grant swing). Returns None when the UI is
-    unavailable (callers treat these as best-effort)."""
+    unavailable (callers treat these as best-effort).
+
+    The AppStatus store is fed by an ASYNC listener bus, so a snapshot taken
+    right after an action can lag the stages that action ran (code-review
+    r03 finding): poll until two consecutive reads agree on the stage set."""
     try:
         base = spark.sparkContext.uiWebUrl
         app = spark.sparkContext.applicationId
         url = f"{base}/api/v1/applications/{app}/stages?status=complete"
-        with urllib.request.urlopen(url, timeout=10) as r:
-            stages = json.loads(r.read())
-        return {
-            f"{s['stageId']}.{s['attemptId']}": (s["executorRunTime"], s["executorCpuTime"])
-            for s in stages
-        }
+
+        def snap() -> dict[str, tuple[int, int]]:
+            with urllib.request.urlopen(url, timeout=10) as r:
+                stages = json.loads(r.read())
+            return {
+                f"{s['stageId']}.{s['attemptId']}": (s["executorRunTime"], s["executorCpuTime"])
+                for s in stages
+            }
+
+        prev = snap()
+        for _ in range(20):
+            time.sleep(0.5)
+            cur = snap()
+            if set(cur) == set(prev):
+                return cur
+            prev = cur
+        return prev
     except Exception:
         return None
 

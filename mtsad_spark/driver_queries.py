@@ -1096,7 +1096,9 @@ def minhash_md5_band_pairs(spark, sf_dir):
     pairs modulo negligible hash collisions, but not portable)."""
     from functools import reduce
 
-    sigs = _minhash_md5_sigs(spark, sf_dir)
+    # 8 consumers (4 bands x 2 join sides): persist or the shingle explode +
+    # md5 + 16-min groupBy lineage re-executes per consumer (CLAUDE.md rule)
+    sigs = _minhash_md5_sigs(spark, sf_dir).persist()
     pairs = None
     for band in range(4):
         cols = [f"mh_{band * 4 + j}" for j in range(4)]

@@ -67,7 +67,10 @@ def asof_join(
             f"right_cols collide with left columns: {sorted(overlap)}; "
             "rename before joining"
         )
-    internal = {"_asof_ts", "_asof_side", "_asof_cb", "_asof_rv", "_asof_loc", "_asof_carry"}
+    internal = {
+        "_asof_ts", "_asof_side", "_asof_cb", "_asof_rv", "_asof_loc",
+        "_asof_carry", "_asof_part",
+    }
     clash = internal & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"reserved internal column names present: {sorted(clash)}")
@@ -77,6 +80,19 @@ def asof_join(
     lcols = list(left.columns)
     ltypes = dict(left.dtypes)
     rv_type = StructType([right.schema[c] for c in right_cols])
+    # SQL join semantics: NULL keys/timestamps never match. Left rows with a
+    # null key or null ts bypass the machinery and come back with null right
+    # columns (ASOF LEFT JOIN keeps them); right rows with nulls can match
+    # nothing and are dropped up front.
+    null_pred = F.lit(False)
+    for c in [*keys, left_ts]:
+        null_pred = null_pred | F.col(c).isNull()
+    left_null = left.filter(null_pred).select(
+        "*", *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in right_cols]
+    )
+    left = left.filter(~null_pred)
+    for c in [*keys, right_ts]:
+        right = right.filter(F.col(c).isNotNull())
     l = (
         left.withColumn("_asof_ts", F.col(left_ts))
         .withColumn("_asof_side", F.lit(1))
@@ -96,6 +112,10 @@ def asof_join(
     u = u.withColumn(
         "_asof_cb", F.floor(_epoch(u, "_asof_ts") / F.lit(coarse_width)).cast("long")
     )
+    # u feeds three subplans (right partials, bucket frame, local resolve) —
+    # persist per the repo's multi-consumer rule or the scans/shuffles below
+    # it re-execute three times
+    u = u.persist()
     # per-(key, bucket) partial: the right row struct at the max right ts in
     # the bucket — algebraic max of (ts, values), map-side combined, skew-safe
     rpart = (
@@ -134,10 +154,11 @@ def asof_join(
         .withColumn("_asof_loc", F.last("_asof_rv", ignorenulls=True).over(wloc))
         .withColumn("_asof_rv", F.coalesce("_asof_loc", "_asof_carry"))
     )
-    return (
+    matched = (
         resolved.filter(F.col("_asof_side") == 1)
         .select(*lcols, *[F.col("_asof_rv").getField(c).alias(c) for c in right_cols])
     )
+    return matched.unionByName(left_null)
 
 
 def interval_join_binned(

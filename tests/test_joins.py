@@ -96,6 +96,33 @@ def test_asof_join_small_buckets_carry_across_gaps(spark):
     assert got["v"][3] == 2.0 and np.isnan(got["v"][4]) and np.isnan(got["v"][5])
 
 
+def test_asof_join_keeps_null_key_and_ts_left_rows(spark):
+    """Left-join contract under SQL null semantics (code-review r03 finding):
+    left rows with a NULL key or NULL ts must survive with null right
+    columns (NULL matches nothing, like DuckDB ASOF LEFT JOIN); null-key
+    right rows must not match anything."""
+    lt = pd.DataFrame(
+        {
+            "k": ["a", None, "a", "b"],
+            "ts": [10.0, 10.0, np.nan, 10.0],
+            "x": [1, 2, 3, 4],
+        }
+    )
+    rt = pd.DataFrame({"k": ["a", None], "ts": [5.0, 1.0], "v": [7.0, 9.0]})
+    got = (
+        asof_join(
+            spark.createDataFrame(lt), spark.createDataFrame(rt),
+            ["k"], "ts", "ts", ["v"], coarse_width=60.0,
+        )
+        .toPandas()
+        .sort_values("x")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4  # every left row kept
+    assert got["v"].tolist()[0] == 7.0          # normal match
+    assert got["v"].isna().tolist()[1:] == [True, True, True]  # null k / null ts / no right
+
+
 def test_asof_join_rejects_column_collisions(spark):
     lt = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [1.0], "v": [0.0]}))
     rt = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [0.5], "v": [1.0]}))
