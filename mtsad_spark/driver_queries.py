@@ -1420,6 +1420,98 @@ def mse_rmse_ma_1h(spark, sf_dir):
     )
 
 
+def _grid_bitmap_sql() -> str:
+    """Oracle for the distributed grid bitmap scorer (fw=24, bins=5, level=3,
+    lag=96, lead=48 over the hourly tier). Every count is an integer, the
+    score numerator Σ(ca·Mb − cb·Ma)² is an order-independent BIGINT, and the
+    final score is ONE float division on identical ints — bitwise
+    cross-engine, no rounding anywhere. The counted-offset patterns are pure
+    functions of the chunk lengths and are inlined as literal lists."""
+    from mtsad_spark.functions.tsbitmap import grid_offsets
+
+    lagoff = ",".join(map(str, grid_offsets(96, 24, 3)))
+    leadoff = ",".join(map(str, grid_offsets(48, 24, 3)))
+    return (
+        _hourly_cte()
+        + f"""
+    , pos AS (SELECT event_type, bucket_ts, avg_v,
+              row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS pos
+              FROM hourly)
+    , fwb AS (SELECT *, CAST(floor(pos / 24) AS BIGINT) AS fwi FROM pos)
+    , wstat AS (SELECT event_type, fwi, min(avg_v) AS lo, max(avg_v) AS hi
+                FROM fwb GROUP BY 1, 2)
+    , gstat AS (SELECT event_type, min(avg_v) AS glo, max(avg_v) AS ghi
+                FROM fwb GROUP BY 1)
+    , sy0 AS (SELECT f.event_type, f.pos, f.bucket_ts, f.avg_v,
+              CASE WHEN w.lo = w.hi THEN g.glo ELSE w.lo END AS lo2,
+              CASE WHEN w.lo = w.hi THEN g.ghi ELSE w.hi END AS hi2
+              FROM fwb f JOIN wstat w USING (event_type, fwi)
+              JOIN gstat g USING (event_type))
+    , sy AS (SELECT event_type, pos, bucket_ts,
+             CASE WHEN (hi2 - lo2) / 5 = 0 THEN 0
+                  ELSE CAST(least(floor((avg_v - lo2) / ((hi2 - lo2) / 5)), 4) AS BIGINT)
+             END AS s
+             FROM sy0)
+    , codes AS (SELECT event_type, pos, s1 * 49 + s2 * 7 + s3 AS code FROM
+                (SELECT event_type, pos, s + 1 AS s1,
+                        lead(s + 1, 1) OVER (PARTITION BY event_type ORDER BY pos) AS s2,
+                        lead(s + 1, 2) OVER (PARTITION BY event_type ORDER BY pos) AS s3
+                 FROM sy)
+                WHERE s3 IS NOT NULL)
+    , nk AS (SELECT event_type, count(*) AS n FROM sy GROUP BY 1)
+    , ii AS (SELECT event_type, CAST(unnest(generate_series(96, n - 48)) AS BIGINT) AS i
+             FROM nk WHERE n - 48 >= 96)
+    , loff AS (SELECT unnest([{lagoff}]) AS p)
+    , soff AS (SELECT unnest([{leadoff}]) AS p)
+    , lagc AS (SELECT c.event_type, ii.i, c.code, count(*) AS ca
+               FROM ii CROSS JOIN loff
+               JOIN codes c ON c.event_type = ii.event_type
+                           AND c.pos = ii.i - 96 + loff.p
+               GROUP BY 1, 2, 3)
+    , leadc AS (SELECT c.event_type, ii.i, c.code, count(*) AS cb
+                FROM ii CROSS JOIN soff
+                JOIN codes c ON c.event_type = ii.event_type
+                            AND c.pos = ii.i + soff.p
+                GROUP BY 1, 2, 3)
+    , ma AS (SELECT event_type, i, max(ca) AS ma FROM lagc GROUP BY 1, 2)
+    , mb AS (SELECT event_type, i, max(cb) AS mb FROM leadc GROUP BY 1, 2)
+    , pair AS (SELECT coalesce(l.event_type, r.event_type) AS event_type,
+                      coalesce(l.i, r.i) AS i, coalesce(l.code, r.code) AS code,
+                      coalesce(l.ca, 0) AS ca, coalesce(r.cb, 0) AS cb
+               FROM lagc l FULL OUTER JOIN leadc r
+                 ON l.event_type = r.event_type AND l.i = r.i AND l.code = r.code)
+    , sc AS (SELECT p.event_type, p.i, ma.ma, mb.mb,
+                    CAST(sum((p.ca * mb.mb - p.cb * ma.ma)
+                             * (p.ca * mb.mb - p.cb * ma.ma)) AS BIGINT) AS score_num
+             FROM pair p JOIN ma USING (event_type, i) JOIN mb USING (event_type, i)
+             GROUP BY 1, 2, 3, 4)
+    SELECT sc.event_type, sc.i AS pos, y.bucket_ts, sc.score_num, sc.ma, sc.mb,
+           CAST(sc.score_num AS DOUBLE)
+             / CAST((sc.ma * sc.mb) * (sc.ma * sc.mb) AS DOUBLE) AS score
+    FROM sc JOIN sy y ON y.event_type = sc.event_type AND y.pos = sc.i
+    """
+    )
+
+
+@_q("bitmap_grid_scores_1h", _grid_bitmap_sql())
+def bitmap_grid_scores_1h(spark, sf_dir):
+    """W11 at scale, cross-engine EXACT: the fully-distributed grid form of
+    the SAX-bitmap scorer (tsbitmapper.py:287-310 semantics; floor-SAX
+    binning) — per-bucket-composed row numbers, self-join n-gram codes,
+    offset-pattern explode + hash-groupBy counts, integer score numerator.
+    Complements the kernel `bitmap_scores_1h` (rows-only) with a DuckDB
+    oracle: every output column is exact integers or one identical float
+    division."""
+    from mtsad_spark.functions.tsbitmap import bitmap_grid_scores
+
+    hourly = _hourly_df(spark, sf_dir)
+    return bitmap_grid_scores(
+        hourly, ["event_type"], "bucket_ts", "avg_v",
+        feature_window_size=24, bins=5, level_size=3,
+        lag_window_size=96, lead_window_size=48,
+    )
+
+
 @_q("bitmap_scores_1h", None)
 def bitmap_scores_1h(spark, sf_dir):
     """No SQL oracle: per-series pandas kernel (SAX n-gram bitmaps); golden
@@ -2137,6 +2229,7 @@ _PRIORITY = [
     "pca_uts_fixture",
     "kpca_uts_fixture",
     "video_frames_y4m",
+    "bitmap_grid_scores_1h",
     # r1-green but rotated out of the r2 window — refresh their rows
     "simhash_dup_pairs_docs",
     "ensemble_vote_1h",

@@ -317,6 +317,142 @@ def bitmap_scores(
     return df.groupBy(*keys).applyInPandas(kernel, schema=out_schema)
 
 
+# ------------------------------------------------ distributed grid scorer
+
+
+def grid_offsets(size: int, fw: int, level: int) -> list[int]:
+    """Counted-n-gram offsets of a chunk of ``size`` rows — the
+    translation-invariant pattern P from :func:`_counted_pattern`, as plain
+    ints (pure function of the chunk LENGTH, so it can be inlined as a
+    literal array in both the Spark plan and a SQL oracle)."""
+    pos, _, _ = _counted_pattern(size, fw, level)
+    return [int(p) for p in pos]
+
+
+def bitmap_grid_scores(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    feature_window_size: int,
+    bins: int = 5,
+    level_size: int = 3,
+    lag_window_size: int = 200,
+    lead_window_size: int = 100,
+) -> DataFrame:
+    """W11 at corpus scale: the SAME lag/lead bitmap distance as
+    :func:`bitmap_scores` (tsbitmapper.py:287-310), but fully shuffle-parallel
+    — no per-key pandas kernel holding a whole series, no unsalted per-key
+    window over raw rows anywhere:
+
+    * row numbers come from per-(key, coarse-bucket) count composition
+      (``scoring._global_row_numbers``),
+    * per-feature-window SAX binning is a (key, window-index) groupBy + join
+      (floor arithmetic — the ``sax_symbols_df`` semantics; np.digitize
+      ulp-edge parity lives in the kernel path),
+    * n-gram codes come from equi-self-joins on consecutive row numbers,
+    * each interior position i explodes against the chunk's counted-offset
+      pattern (:func:`grid_offsets`) and counts land via a (key, pos)
+      equi-join + hash groupBy — the per-(key, i) groups are bounded by the
+      chunk size, never by the series length.
+
+    EXACT cross-engine algebra: instead of normalizing each bitmap by its max
+    (float division per cell), the squared distance is computed as one integer
+    numerator — score = Σ_c (ca_c·Mb − cb_c·Ma)² / (Ma·Mb)² — so ``score_num``
+    / ``ma`` / ``mb`` are order-independent BIGINTs and ``score`` is a single
+    float division, bitwise-identical across engines and parallelism levels.
+
+    Emits ONLY interior positions i ∈ [lag, n_k − lead] (the kernel pads the
+    warm-up/tail with zeros; the grid form leaves them out). Requires non-null
+    ``val_col`` and a total order per key on ``order_col``.
+    """
+    from ..operators.scoring import _global_row_numbers
+
+    _check_fw_level(feature_window_size, level_size)
+    fw, level = feature_window_size, level_size
+    lag, lead = lag_window_size, lead_window_size
+    base = bins + 2
+
+    slim = df.select(*keys, order_col, val_col)
+    b = _global_row_numbers(slim, keys, order_col).withColumn(
+        "_fwi", F.floor(F.col("_rn") / fw).cast("long")
+    )
+    wstat = b.groupBy(*keys, "_fwi").agg(
+        F.min(val_col).alias("_lo"), F.max(val_col).alias("_hi")
+    )
+    gstat = b.groupBy(*keys).agg(
+        F.min(val_col).alias("_glo"), F.max(val_col).alias("_ghi")
+    )
+    j = b.join(wstat, [*keys, "_fwi"]).join(gstat, [*keys])
+    lo2 = F.when(F.col("_lo") == F.col("_hi"), F.col("_glo")).otherwise(F.col("_lo"))
+    hi2 = F.when(F.col("_lo") == F.col("_hi"), F.col("_ghi")).otherwise(F.col("_hi"))
+    step = (hi2 - lo2) / bins
+    symexpr = F.when(step == F.lit(0.0), F.lit(0)).otherwise(
+        F.least(F.floor((F.col(val_col) - lo2) / step), F.lit(bins - 1))
+    )
+    sym = j.withColumn("symbol", symexpr.cast("long")).select(
+        *keys, order_col, F.col("_rn").alias("pos"), "symbol"
+    )
+    # multi-consumer frame: codes joins (level), nk, the i×offset joins and
+    # the final timestamp join all re-read it — persist per CLAUDE.md
+    sym = sym.persist()
+
+    codes = sym.select(*keys, "pos", (F.col("symbol") + 1).alias("_c"))
+    expr = F.col("_c").cast("long")
+    for l in range(1, level):
+        nxt = sym.select(
+            *keys, (F.col("pos") - l).alias("pos"), (F.col("symbol") + 1).alias(f"_c{l}")
+        )
+        codes = codes.join(nxt, [*keys, "pos"])
+        expr = expr * base + F.col(f"_c{l}")
+    codes = codes.select(*keys, "pos", expr.alias("code")).persist()
+
+    nk = sym.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    ii = nk.filter(F.col("_n") - lead >= lag).select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(lag).cast("long"), (F.col("_n") - lead).cast("long"))
+        ).alias("i"),
+    )
+
+    def _side(offsets: list[int], start_shift: int, cnt_name: str) -> DataFrame:
+        need = ii.select(
+            *keys,
+            "i",
+            F.explode(F.array(*[F.lit(p) for p in offsets])).alias("_p"),
+        ).withColumn("pos", F.col("i") + F.lit(start_shift) + F.col("_p"))
+        return (
+            need.join(codes, [*keys, "pos"])
+            .groupBy(*keys, "i", "code")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    lagc = _side(grid_offsets(lag, fw, level), -lag, "ca")
+    leadc = _side(grid_offsets(lead, fw, level), 0, "cb")
+    ma = lagc.groupBy(*keys, "i").agg(F.max("ca").alias("ma"))
+    mb = leadc.groupBy(*keys, "i").agg(F.max("cb").alias("mb"))
+    pair = (
+        lagc.join(leadc, [*keys, "i", "code"], "full_outer")
+        .join(ma, [*keys, "i"])
+        .join(mb, [*keys, "i"])
+    )
+    term = F.coalesce(F.col("ca"), F.lit(0)) * F.col("mb") - F.coalesce(
+        F.col("cb"), F.lit(0)
+    ) * F.col("ma")
+    num = pair.groupBy(*keys, "i").agg(
+        F.sum(term * term).alias("score_num"),
+        F.first("ma").alias("ma"),
+        F.first("mb").alias("mb"),
+    )
+    den = (F.col("ma") * F.col("mb")) * (F.col("ma") * F.col("mb"))
+    ts = sym.select(*keys, F.col("pos").alias("i"), order_col)
+    return (
+        num.join(ts, [*keys, "i"])
+        .withColumn("score", F.col("score_num").cast("double") / den.cast("double"))
+        .select(*keys, F.col("i").alias("pos"), order_col, "score_num", "ma", "mb", "score")
+    )
+
+
 # -------------------------------------------------- distributed bitmap algebra
 
 

@@ -13,9 +13,11 @@ from mtsad_spark.fixtures import mts2_wave
 from mtsad_spark.functions.signal import epsilon_by_f1, fft_bandstop_residual, hp_residual_mad
 from mtsad_spark.functions.tsbitmap import (
     _chunk_bitmap,
+    _counted_pattern,
     _ngram_codes,
     _sax_symbols,
     bitmap_distance_join,
+    bitmap_grid_scores,
     bitmap_scores,
     bitmap_scores_series,
     ngram_bitmap,
@@ -140,6 +142,110 @@ def test_distributed_bitmap_algebra(spark):
     assert d > 0
     dd = bitmap_distance_join(bma, bma, ["g"]).collect()[0]["distance"]
     assert dd == 0.0
+
+
+def _np_grid_scores(vals, fw, bins, level, lag, lead):
+    """Independent numpy mirror of bitmap_grid_scores' EXACT semantics:
+    floor-SAX per feature window (global min/max fallback), counted-pattern
+    integer counts, score_num = Σ(ca·Mb − cb·Ma)², one final division."""
+    vals = np.asarray(vals, dtype=np.float64)
+    n = len(vals)
+    gmin, gmax = vals.min(), vals.max()
+    sym = np.empty(n, dtype=np.int64)
+    for s in range(0, n, fw):
+        w = vals[s : s + fw]
+        lo, hi = w.min(), w.max()
+        if lo == hi:
+            lo, hi = gmin, gmax
+        step = (hi - lo) / bins
+        if step == 0:
+            sym[s : s + fw] = 0
+        else:
+            sym[s : s + fw] = np.minimum(
+                np.floor((w - lo) / step), bins - 1
+            ).astype(np.int64)
+    base = bins + 2
+    space = base**level
+    codes = _ngram_codes(sym, level, base)
+    lag_pos, _, _ = _counted_pattern(lag, fw, level)
+    lead_pos, _, _ = _counted_pattern(lead, fw, level)
+    out = {}
+    for i in range(lag, n - lead + 1):
+        a = np.bincount(codes[i - lag + lag_pos], minlength=space).astype(np.int64)
+        b = np.bincount(codes[i + lead_pos], minlength=space).astype(np.int64)
+        ma, mb = int(a.max()), int(b.max())
+        num = int(((a * mb - b * ma) ** 2).sum())
+        out[i] = (num, ma, mb, num / float((ma * mb) * (ma * mb)))
+    return out
+
+
+def test_bitmap_grid_scores_matches_numpy_mirror(spark):
+    """Golden: the distributed grid scorer is integer-exact vs an independent
+    numpy mirror, per key, and its float score (one division on exact ints)
+    matches bitwise."""
+    fw, bins, level, lag, lead = 20, 5, 3, 80, 40
+    rng = np.random.RandomState(7)
+    series = {
+        "a": np.round(rng.rand(300) * 40, 2),
+        "b": np.round(np.sin(np.arange(280) / 9.0) * 10 + rng.rand(280), 2),
+    }
+    pdf = pd.DataFrame(
+        {
+            "k": np.r_[["a"] * 300, ["b"] * 280],
+            "idx": np.r_[np.arange(300), np.arange(280)].astype(float),
+            "v": np.r_[series["a"], series["b"]],
+        }
+    )
+    got = (
+        bitmap_grid_scores(
+            spark.createDataFrame(pdf), ["k"], "idx", "v", fw, bins, level, lag, lead
+        )
+        .orderBy("k", "pos")
+        .toPandas()
+    )
+    for k, vals in series.items():
+        want = _np_grid_scores(vals, fw, bins, level, lag, lead)
+        sub = got[got["k"] == k]
+        assert list(sub["pos"]) == sorted(want)
+        for _, r in sub.iterrows():
+            num, ma, mb, score = want[r["pos"]]
+            assert (r["score_num"], r["ma"], r["mb"]) == (num, ma, mb)
+            assert r["score"] == score  # single division on identical ints
+
+
+def test_bitmap_grid_scores_consistent_with_kernel(spark):
+    """When floor-SAX and np.digitize-SAX agree on the data (integer-valued
+    series — no bin-edge ulp ambiguity), the grid score equals the kernel's
+    normalized float score to ~1e-12 on every interior position."""
+    fw, bins, level, lag, lead = 20, 5, 3, 80, 40
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 50, size=260).astype(np.float64)
+    # precondition: both SAX variants agree on this data
+    ker_sym = _sax_symbols(vals, fw, bins)
+    mirror = _np_grid_scores(vals, fw, bins, level, lag, lead)
+    gmin, gmax = vals.min(), vals.max()
+    flo_sym = np.empty(len(vals), dtype=np.int64)
+    for s in range(0, len(vals), fw):
+        w = vals[s : s + fw]
+        lo, hi = w.min(), w.max()
+        if lo == hi:
+            lo, hi = gmin, gmax
+        step = (hi - lo) / bins
+        flo_sym[s : s + fw] = np.minimum(np.floor((w - lo) / step), bins - 1)
+    assert (ker_sym == flo_sym).all(), "fixture must avoid bin-edge ambiguity"
+    kscores, _ = bitmap_scores_series(vals, fw, bins, level, lag, lead, q=99)
+    pdf = pd.DataFrame({"k": "x", "idx": np.arange(len(vals), dtype=float), "v": vals})
+    got = (
+        bitmap_grid_scores(
+            spark.createDataFrame(pdf), ["k"], "idx", "v", fw, bins, level, lag, lead
+        )
+        .orderBy("pos")
+        .toPandas()
+    )
+    assert list(got["pos"]) == list(range(lag, len(vals) - lead + 1))
+    for _, r in got.iterrows():
+        assert r["score"] == pytest.approx(kscores[r["pos"]], abs=1e-12)
+        assert (r["score_num"], r["ma"], r["mb"]) == mirror[r["pos"]][:3]
 
 
 # ----------------------------------------------------------- signal kernels
