@@ -1304,18 +1304,60 @@ def lang_id_docs(spark, sf_dir):
     return with_lang_id(docs, "text").select("doc_id", "lang_pred")
 
 
-@_q("ann_lsh_embeddings", None)
+def _ann_lsh_sql() -> str:
+    """Oracle for the LSH ANN top-k: DuckDB rebuilds the 6-plane sign-bit
+    buckets from the planes fixture (RandomState fills row-major, so
+    randn(6, dim) is exactly the first 6 rows of the 8-plane tbl=0 draw),
+    joins candidates within a bucket, and ranks on the 6-decimal-rounded
+    cosine with a neighbor-id tiebreak — the SAME rank key the operator
+    uses. Sign-flip safe: min |v·plane| ≥ 5.4e-5 over these planes on every
+    sf dir (measured; fixtures are deterministic)."""
+    from mtsad_spark.fixture_cache import ensure_planes_fixture
+
+    return f"""
+    WITH planes AS (SELECT plane_idx, plane FROM '{ensure_planes_fixture()}'
+                    WHERE tbl = 0 AND plane_idx < 6),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         bk AS (SELECT c.vec_id,
+                       CAST(sum(CASE WHEN list_dot_product(c.v, p.plane) > 0
+                                THEN CAST(1 AS BIGINT) << p.plane_idx
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+                FROM c CROSS JOIN planes p GROUP BY 1),
+         cand AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id
+                  FROM bk q JOIN bk n
+                    ON q.bucket = n.bucket AND n.vec_id != q.vec_id
+                  WHERE q.vec_id < 5),
+         sim AS (SELECT query_id, neighbor_id,
+                        round(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                 FROM cand
+                 JOIN c a ON a.vec_id = cand.query_id
+                 JOIN c b ON b.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sim)
+    WHERE rank <= 3
+    """
+
+
+@_q("ann_lsh_embeddings", _ann_lsh_sql())
 def ann_lsh_embeddings(spark, sf_dir):
-    """No SQL oracle: hyperplane buckets hinge on float dot-product signs —
-    cross-engine ulp differences flip near-zero projections. Recall floors
-    are pytest-golden (single- and multi-table)."""
+    """LSH ANN top-k, fully oracled: DuckDB reproduces the hyperplane
+    buckets bit-for-bit from the shared planes fixture (see _ann_lsh_sql;
+    the old no-oracle rationale — sign flips on near-zero projections — was
+    measured to be a non-issue on these fixtures: min margin 5.4e-5 vs
+    ~1e-15 association noise). Recall floors stay pytest-golden (single- and
+    multi-table)."""
     from mtsad_spark.operators.similarity import cosine_topk_lsh
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.filter("vec_id < 5")
-    return cosine_topk_lsh(emb, queries, dim=64, k=3, n_planes=6)
+    out = cosine_topk_lsh(emb, queries, dim=64, k=3, n_planes=6)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 @_q(
@@ -2041,13 +2083,53 @@ def ivf_ann_embeddings(spark, sf_dir):
     return cosine_topk_ivf(emb, emb.filter("vec_id < 5"), k=3, n_lists=8, n_probe=3)
 
 
-@_q("embedding_near_dups", None)
+def _near_dup_sql() -> str:
+    """Full oracle for the LSH near-dup pipeline: the planes fixture
+    (fixture_cache.ensure_planes_fixture) reproduces the EXACT hyperplanes
+    hyperplane_buckets embeds as literals, so DuckDB rebuilds the sign-bit
+    buckets, the within-(table, bucket) pair join, the cross-table DISTINCT
+    and the exact-cosine verify end-to-end. Deterministic because the fixture
+    margins are huge (measured over every sf dir): min |v·plane| ≥ 4.9e-6
+    (sign bits can't flip on ~1e-15 association noise) and min
+    |cosine − 0.99| ≥ 8.6e-3 (the threshold can't flip); dup vectors use
+    floor(x·100)/100 — exact in both engines, unlike decimal rounding."""
+    from mtsad_spark.fixture_cache import ensure_planes_fixture
+
+    return f"""
+    WITH planes AS (SELECT tbl, plane_idx, plane FROM '{ensure_planes_fixture()}'),
+         base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         dup AS (SELECT vec_id + 100000 AS vec_id,
+                        list_transform(embedding::DOUBLE[], x -> floor(x * 100) / 100.0) AS v
+                 FROM embeddings WHERE vec_id < 50),
+         corpus AS (SELECT * FROM base UNION ALL SELECT * FROM dup),
+         bk AS (SELECT c.vec_id, p.tbl,
+                       CAST(sum(CASE WHEN list_dot_product(c.v, p.plane) > 0
+                                THEN CAST(1 AS BIGINT) << p.plane_idx
+                                ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS bucket
+                FROM corpus c CROSS JOIN planes p GROUP BY 1, 2),
+         pairs AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM bk a JOIN bk b
+                     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         sim AS (SELECT id_a, id_b,
+                        list_dot_product(x.v, y.v)
+                          / (sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(y.v, y.v))) AS cos_raw
+                 FROM pairs
+                 JOIN corpus x ON x.vec_id = pairs.id_a
+                 JOIN corpus y ON y.vec_id = pairs.id_b)
+    SELECT id_a, id_b, round(cos_raw, 6) AS cosine FROM sim WHERE cos_raw >= 0.99
+    """
+
+
+@_q("embedding_near_dups", _near_dup_sql())
 def embedding_near_dups_q(spark, sf_dir):
     """The embeddings fixture is near-orthogonal random (max pairwise cosine
     ~0.51 at sf0.01), so true near-dups are synthesized deterministically:
-    vec_id < 50 get a 2-decimal-rounded copy (cosine ≥ ~0.999 to its
-    original). Multi-table LSH (3 seeds × 8 planes) gives ≥0.999 recall at
-    that cosine; the exact-cosine verify keeps only ≥ 0.99."""
+    vec_id < 50 get a 2-decimal-TRUNCATED copy (floor(x·100)/100 — exact in
+    both engines; cosine ≥ ~0.999 to its original). Multi-table LSH (3 seeds
+    × 8 planes) gives ≥0.999 recall at that cosine; the exact-cosine verify
+    keeps only ≥ 0.99. Fully oracled: DuckDB rebuilds the buckets from the
+    shared planes fixture (see _near_dup_sql)."""
     from mtsad_spark.operators.similarity import embedding_near_dups
 
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2055,7 +2137,9 @@ def embedding_near_dups_q(spark, sf_dir):
     )
     dup = emb.filter("vec_id < 50").select(
         (F.col("vec_id") + 100_000).alias("vec_id"),
-        F.transform("embedding", lambda x: F.round(x, 2)).alias("embedding"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * 100) / F.lit(100.0)
+        ).alias("embedding"),
     )
     corpus = emb.unionByName(dup)
     out = embedding_near_dups(

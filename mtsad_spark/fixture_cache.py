@@ -228,3 +228,42 @@ def ensure_mat_fixture() -> tuple[str, str]:
     pdf.to_parquet(tmp)
     os.replace(tmp, MAT_ORACLE_PATH)
     return MAT_PATH, MAT_ORACLE_PATH
+
+
+PLANES_PATH = f"{CACHE_DIR}/lsh_planes.parquet"
+PLANES_N, PLANES_DIM, PLANES_SEED, PLANES_TABLES = 8, 64, 42, 3
+
+
+def ensure_planes_fixture() -> str:
+    """The EXACT hyperplanes operators/similarity.hyperplane_buckets embeds as
+    literals (RandomState(seed + 7919*t).randn(n_planes, dim) per table), as
+    shared parquet (tbl, plane_idx, plane DOUBLE[]) so DuckDB can reproduce
+    the sign-bit buckets bit-for-bit. Safe cross-engine because the fixture
+    corpus' sign margins are huge: min |v·plane| ≥ 4.9e-6 over every sf dir,
+    table and synthesized dup — a million times the ~1e-15 dot-product
+    association noise between the engines (measured in-round; margins are a
+    pure function of the deterministic fixtures)."""
+    if os.path.exists(PLANES_PATH):
+        return PLANES_PATH
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbls, idxs, planes = [], [], []
+    for t in range(PLANES_TABLES):
+        P = np.random.RandomState(PLANES_SEED + 7919 * t).randn(PLANES_N, PLANES_DIM)
+        for i in range(PLANES_N):
+            tbls.append(t)
+            idxs.append(i)
+            planes.append(P[i].tolist())
+    table = pa.table(
+        {
+            "tbl": pa.array(tbls, type=pa.int64()),
+            "plane_idx": pa.array(idxs, type=pa.int64()),
+            "plane": pa.array(planes, type=pa.list_(pa.float64())),
+        }
+    )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = f"{PLANES_PATH}.tmp.{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, PLANES_PATH)
+    return PLANES_PATH

@@ -53,7 +53,12 @@ def cosine_topk_bruteforce(
     sim = joined.withColumn(
         "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # rank on the 6-decimal-rounded cosine with an id tiebreak: deterministic
+    # across runs, partitionings and engines (unrounded float order is
+    # ulp-fragile at equal-cosine ties); the emitted cosine stays unrounded
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("neighbor_id")
+    )
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -141,7 +146,12 @@ def cosine_topk_ivf(
     sim = joined.withColumn(
         "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # rank on the 6-decimal-rounded cosine with an id tiebreak: deterministic
+    # across runs, partitionings and engines (unrounded float order is
+    # ulp-fragile at equal-cosine ties); the emitted cosine stays unrounded
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("neighbor_id")
+    )
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -242,7 +252,12 @@ def cosine_topk_lsh(
     sim = joined.withColumn(
         "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    # rank on the 6-decimal-rounded cosine with an id tiebreak: deterministic
+    # across runs, partitionings and engines (unrounded float order is
+    # ulp-fragile at equal-cosine ties); the emitted cosine stays unrounded
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round(F.col("cosine"), 6)), F.asc("neighbor_id")
+    )
     return (
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
