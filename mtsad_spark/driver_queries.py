@@ -1557,7 +1557,9 @@ def bitmap_grid_scores_1h(spark, sf_dir):
 @_q("bitmap_scores_1h", None)
 def bitmap_scores_1h(spark, sf_dir):
     """No SQL oracle: per-series pandas kernel (SAX n-gram bitmaps); golden
-    tests pin it bitwise to the naive recount + reference-style bounds."""
+    tests pin it bitwise to the naive recount + reference-style bounds, and
+    the distributed twin `bitmap_grid_scores_1h` oracles the same bitmap
+    algebra (counted-pattern counts, max-normalized distance) cross-engine."""
     from mtsad_spark.functions.tsbitmap import bitmap_scores
 
     hourly = _hourly_df(spark, sf_dir)

@@ -184,3 +184,43 @@ def test_dedup_pipeline_has_no_cartesian_or_pair_broadcast(spark):
     # a hard-coded hint on a pair frame does not)
     analyzed = q._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_bitmap_grid_scorer_is_jvm_only_and_scale_clean(spark, events):
+    """The distributed grid bitmap scorer must stay entirely JVM-side (no
+    Python eval nodes of any kind) and must not window raw rows partitioned
+    by the bare key — its only sequential windows are the per-bucket count
+    composition inside _global_row_numbers (same rule as the halo slicer)."""
+    from mtsad_spark.functions.tsbitmap import bitmap_grid_scores
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("v"))
+    q = bitmap_grid_scores(
+        hourly, ["event_type"], "bucket_ts", "v",
+        feature_window_size=24, bins=5, level_size=3,
+        lag_window_size=96, lead_window_size=48,
+    )
+    p = plan_of(q)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    tree = q._jdf.queryExecution().optimizedPlan().toString()
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        spec = line.split("], [")[1]
+        if "_cb#" in spec:
+            continue  # (key, coarse-bucket) window — parallel
+        # the persisted frames render their CACHED PHYSICAL plan inline, so
+        # the aggregate may sit under Sort/Exchange nodes — skip those
+        child = ""
+        for below in lines[i + 1 :]:
+            if " Sort [" in below or "Exchange " in below:
+                continue
+            child = below
+            break
+        assert "Aggregate" in child, (
+            f"keys-only Window over a non-aggregate child:\n{line}\n{child}"
+        )
