@@ -2077,12 +2077,73 @@ def tokens_passthrough_hash(spark, sf_dir):
 
 @_q("ivf_ann_embeddings", None)
 def ivf_ann_embeddings(spark, sf_dir):
+    """No SQL oracle for the TRAINED-quantizer form: Spark ML k-means
+    centroids are iterative floats DuckDB cannot reproduce. The
+    pre-trained-quantizer form of the same operator is fully oracled by
+    `ivf_seeded_ann_embeddings`."""
     from mtsad_spark.operators.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     return cosine_topk_ivf(emb, emb.filter("vec_id < 5"), k=3, n_lists=8, n_probe=3)
+
+
+_IVF_SEEDED_SQL = """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cent AS (SELECT vec_id AS list_id, v AS ctr FROM c WHERE vec_id < 16),
+         ad AS (SELECT c.vec_id, cent.list_id, list_distance(c.v, cent.ctr) AS d
+                FROM c CROSS JOIN cent),
+         assign AS (SELECT vec_id, list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, list_id) AS rk FROM ad)
+            WHERE rk = 1),
+         probe AS (SELECT vec_id AS query_id, list_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d, list_id) AS rk
+            FROM ad WHERE vec_id < 5)
+            WHERE rk <= 4),
+         cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+                  FROM probe p JOIN assign a ON a.list_id = p.list_id
+                  WHERE a.vec_id != p.query_id),
+         sim AS (SELECT query_id, neighbor_id,
+                        round(list_dot_product(a.v, b.v)
+                              / (sqrt(list_dot_product(a.v, a.v))
+                                 * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+                 FROM cand
+                 JOIN c a ON a.vec_id = cand.query_id
+                 JOIN c b ON b.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sim)
+    WHERE rank <= 3
+    """
+
+
+@_q("ivf_seeded_ann_embeddings", _IVF_SEEDED_SQL)
+def ivf_seeded_ann_embeddings(spark, sf_dir):
+    """IVF ANN with a PRE-TRAINED quantizer (the at-scale pattern: train the
+    coarse quantizer offline, reuse it), fully oracled: centroids are the
+    vec_id<16 embeddings themselves (a 0-iteration seeded quantizer both
+    engines can read from the shared table), so DuckDB replays argmin-L2
+    assignment, n_probe list selection and the rounded-cosine ranking
+    exactly. Ordering-safe: min assignment gap (1st vs 2nd centroid) ≥
+    2.3e-5 and min probe-boundary gap ≥ 2.3e-3 over every sf dir (measured;
+    fixtures are deterministic) — ~10^8 × the cross-engine float-association
+    noise. The TRAINED form stays rows-only (`ivf_ann_embeddings`)."""
+    from mtsad_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    seeds = emb.filter("vec_id < 16").orderBy("vec_id").collect()
+    centroids = [list(r["embedding"]) for r in seeds]
+    out = cosine_topk_ivf(
+        emb, emb.filter("vec_id < 5"), k=3, n_lists=16, n_probe=4,
+        centroids=centroids,
+    )
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 def _near_dup_sql() -> str:
@@ -2316,6 +2377,7 @@ _PRIORITY = [
     "kpca_uts_fixture",
     "video_frames_y4m",
     "bitmap_grid_scores_1h",
+    "ivf_seeded_ann_embeddings",
     # r1-green but rotated out of the r2 window — refresh their rows
     "simhash_dup_pairs_docs",
     "ensemble_vote_1h",

@@ -95,38 +95,63 @@ def cosine_topk_ivf(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer partitions the corpus into inverted
+    """IVF ANN: a coarse quantizer partitions the corpus into inverted
     lists; each query brute-forces only its ``n_probe`` nearest lists.
 
-    The quantizer trains once (distributed k-means on the corpus, seeded);
-    assignment is one model.transform pass. At 10^9+ vectors the lists are
-    the shuffle partitioning — each query touches n_probe/n_lists of the
-    corpus. Recall < 1 by construction; raise n_probe toward n_lists for the
-    exact limit.
+    Quantizer: by default k-means trains once (distributed, seeded) and
+    assignment is one model.transform pass. Pass ``centroids`` (list of
+    dim-length float lists) to use a PRE-TRAINED/EXTERNAL quantizer instead —
+    the standard at-scale pattern (train offline on a sample, reuse across
+    jobs); assignment is then an argmin-L2 over a broadcast centroid table
+    (n_lists rows per vector, bounded window groups). At 10^9+ vectors the
+    lists are the shuffle partitioning — each query touches
+    n_probe/n_lists of the corpus. Recall < 1 by construction; raise
+    n_probe toward n_lists for the exact limit.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    spark = corpus.sparkSession
+    if centroids is not None:
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centroids)],
+            schema="_list INT, _ctr ARRAY<DOUBLE>",
+        )
+        c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+        dc = F.aggregate(
+            F.zip_with(F.col("_cv"), F.col("_ctr"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        wa = Window.partitionBy("neighbor_id").orderBy("_dc", "_list")
+        lists = (
+            c.crossJoin(F.broadcast(cent))
+            .withColumn("_dc", dc)
+            .withColumn("_ra", F.row_number().over(wa))
+            .filter(F.col("_ra") == 1)
+            .select("neighbor_id", "_cv", "_list")
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        array_to_vector(F.col(vec_col)).alias("_feat"),
-    )
-    km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_list").fit(c)
-    lists = km.transform(c).drop("_feat")
-    centers = km.clusterCenters()
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            array_to_vector(F.col(vec_col)).alias("_feat"),
+        )
+        km = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="_list").fit(c)
+        lists = km.transform(c).drop("_feat")
+        centroids = [[float(x) for x in ctr] for ctr in km.clusterCenters()]
+        cent = spark.createDataFrame(
+            [(i, ctr) for i, ctr in enumerate(centroids)],
+            schema="_list INT, _ctr ARRAY<DOUBLE>",
+        )
 
     # per-query n_probe nearest centroids via a broadcast CENTROID TABLE join
     # (round-1 embedded each centroid as a literal expression — at d=1024 /
     # n_lists=4096 that is multi-MB of plan text per query; a data-side
     # broadcast keeps the plan O(1) regardless of d·k)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    spark = corpus.sparkSession
-    cent = spark.createDataFrame(
-        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(centers)],
-        schema="_list INT, _ctr ARRAY<DOUBLE>",
-    )
     d2 = F.aggregate(
         F.zip_with(F.col("_qv"), F.col("_ctr"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),

@@ -305,6 +305,33 @@ def test_multi_table_lsh_raises_near_dup_recall_above_090(spark):
         assert cos >= 0.98 - 1e-9
 
 
+def test_ivf_pretrained_centroids_full_probe_equals_bruteforce(spark):
+    """The pre-trained-quantizer seam (cosine_topk_ivf centroids=...): with
+    n_probe == n_lists every list is probed, so IVF must return EXACTLY the
+    brute-force top-k — the quantizer only routes, never changes scores."""
+    import pandas as pd
+
+    from mtsad_spark.operators.similarity import cosine_topk_bruteforce, cosine_topk_ivf
+
+    rng = np.random.RandomState(17)
+    vecs = rng.randn(120, 16)
+    pdf = pd.DataFrame(
+        {"vec_id": range(120), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    q = df.filter("vec_id < 4")
+    cents = [list(map(float, v)) for v in vecs[:6]]
+    got = (
+        cosine_topk_ivf(df, q, k=5, n_lists=6, n_probe=6, centroids=cents)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    want = cosine_topk_bruteforce(df, q, k=5).orderBy("query_id", "rank").toPandas()
+    assert list(got["neighbor_id"]) == list(want["neighbor_id"])
+    assert list(got["rank"]) == list(want["rank"])
+    assert np.allclose(got["cosine"], want["cosine"], rtol=0, atol=1e-12)
+
+
 def test_multi_table_lsh_ann_recall_above_090(spark):
     """Multi-table cosine_topk_lsh recall@k ≥ 0.9 on clustered vectors vs the
     brute-force ground truth."""
