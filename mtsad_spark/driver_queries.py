@@ -44,7 +44,9 @@ def _ensure_fixtures() -> None:
         ensure_arff_fixture,
         ensure_kpca_fixture,
         ensure_mat_fixture,
+        ensure_media_fixture,
         ensure_pca_fixture,
+        ensure_planes_fixture,
         ensure_seqfix,
     )
 
@@ -53,6 +55,8 @@ def _ensure_fixtures() -> None:
     ensure_mat_fixture()
     ensure_pca_fixture()
     ensure_kpca_fixture()
+    ensure_planes_fixture()
+    ensure_media_fixture()
 
 
 def queries() -> dict[str, QueryFn]:
@@ -2277,15 +2281,27 @@ def ensemble_stacking_1h(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "tag", "tag_pred")
 
 
-@_q("media_decode_features", None)
+def _media_feat_sql() -> str:
+    from mtsad_spark.fixture_cache import ensure_media_fixture
+
+    _, feat_path, _ = ensure_media_fixture()
+    return f"SELECT media_id, kind, width, height, n_bytes, features FROM '{feat_path}'"
+
+
+@_q("media_decode_features", _media_feat_sql())
 def media_decode_features(spark, sf_dir):
     """Multimodal decode seam with REAL codecs for all three modalities:
-    synth PNG/WAV/Y4M payloads → mapInPandas decode → pixel-histogram /
-    audio-RMS / luma-histogram features. Deterministic; no SQL oracle
-    (binary codecs)."""
-    from mtsad_spark.functions.multimodal import decode_features, synth_media
+    shared-parquet PNG/WAV/Y4M payloads → mapInPandas decode →
+    pixel-histogram / audio-RMS / luma-histogram features. Oracled against
+    EXPECTED features derived from the SOURCE pixel/sample/frame arrays
+    (fixture_cache.ensure_media_fixture — never runs the decoders), so the
+    driver cross-checks encode → demux/decode → featurize against source
+    truth, the ARFF/MAT independence pattern."""
+    from mtsad_spark.fixture_cache import ensure_media_fixture
+    from mtsad_spark.functions.multimodal import decode_features
 
-    media = synth_media(spark, n=60, real_codecs=True)
+    media_path, _, _ = ensure_media_fixture()
+    media = spark.read.parquet(media_path)
     out = decode_features(media, n_features=8)
     return out.select(
         "media_id", "kind", "width", "height", "n_bytes",
@@ -2293,15 +2309,26 @@ def media_decode_features(spark, sf_dir):
     )
 
 
-@_q("video_frames_y4m", None)
-def video_frames_y4m(spark, sf_dir):
-    """Video demux path end-to-end: synth Y4M clips → sample_frames (real
-    YUV4MPEG2 parse, frame picked by the stream's own 4 fps clock) →
-    PNG-encoded frames. Deterministic; rows-only (binary codec output isn't
-    SQL-expressible)."""
-    from mtsad_spark.functions.multimodal import sample_frames, synth_media
+def _media_frames_sql() -> str:
+    from mtsad_spark.fixture_cache import ensure_media_fixture
 
-    media = synth_media(spark, n=30, real_codecs=True)
+    _, _, frames_path = ensure_media_fixture()
+    return f"SELECT media_id, frame_idx, frame_ts_ms, frame_md5 FROM '{frames_path}'"
+
+
+@_q("video_frames_y4m", _media_frames_sql())
+def video_frames_y4m(spark, sf_dir):
+    """Video demux path end-to-end: shared-parquet Y4M clips →
+    sample_frames (real YUV4MPEG2 parse, frame picked by the stream's own
+    4 fps clock) → PNG-encoded frames. Oracled against frame md5s computed
+    from the SOURCE frame arrays (fixture_cache.ensure_media_fixture replays
+    the frame clock from the source frame count and hashes the PNG of the
+    source frame — the demuxer itself never runs on the oracle side)."""
+    from mtsad_spark.fixture_cache import ensure_media_fixture
+    from mtsad_spark.functions.multimodal import sample_frames
+
+    media_path, _, _ = ensure_media_fixture()
+    media = spark.read.parquet(media_path).filter(F.col("media_id") < 30)
     out = sample_frames(media, every_ms=1000)
     return out.select(
         "media_id", "frame_idx", "frame_ts_ms", F.md5(F.col("frame")).alias("frame_md5")

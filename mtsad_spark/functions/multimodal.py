@@ -52,6 +52,42 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def synth_media_items(n: int = 200, seed: int = 42, real_codecs: bool = False):
+    """Deterministic media generator shared by :func:`synth_media` (Spark DF)
+    and the shared-parquet oracle fixture (fixture_cache.ensure_media_fixture):
+    yields ``(row_tuple, source)`` where ``source`` is the PRE-ENCODE numpy
+    payload content (image pixels / int16 samples / YUV frames) so an oracle
+    can derive expected features from the source truth without ever running
+    the decoders. Generation draws are strictly sequential per item, so the
+    first m items of ``n`` equal all items of ``m`` for m ≤ n."""
+    from .codecs import encode_png, encode_wav, encode_y4m
+
+    rng = np.random.RandomState(seed)
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        w, h = int(rng.randint(16, 256)), int(rng.randint(16, 256))
+        dur = int(rng.randint(100, 10_000))
+        source = None
+        if real_codecs and kind == "image":
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payload, codec, source = encode_png(img), "png", img
+        elif real_codecs and kind == "audio":
+            rate = 8000
+            t = np.arange(int(rate * dur / 1000), dtype=np.float64)
+            wave = np.sin(2 * np.pi * (100 + (i % 20) * 10) * t / rate)
+            samples = (wave * 20000).astype("<i2")
+            payload, codec, source = encode_wav(rate, samples), "wav", samples
+        elif real_codecs and kind == "video":
+            w, h = w % 48 + 16, h % 48 + 16  # keep clips fixture-sized
+            n_frames = max(1, dur * 4 // 1000)  # 4 fps
+            frames = rng.randint(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+            payload, codec, source = encode_y4m(frames, fps=(4, 1)), "y4m", frames
+        else:
+            body = rng.bytes(int(rng.randint(64, 2048)))
+            payload, codec = struct.pack(">II", w, h) + body, "fake"
+        yield (i, kind, bytearray(payload), w, h, dur, codec), source
+
+
 def synth_media(spark, n: int = 200, seed: int = 42, real_codecs: bool = False) -> DataFrame:
     """Deterministic fake media table: payload bytes are a pure function of
     (seed, media_id); metadata is consistent with the payload header.
@@ -60,34 +96,8 @@ def synth_media(spark, n: int = 200, seed: int = 42, real_codecs: bool = False) 
     as valid PCM16 WAVs, video as valid Y4M clips at 4 fps
     (functions/codecs.py) — so the decode path runs the actual codec instead
     of the stub."""
-
-    def gen():
-        from .codecs import encode_png, encode_wav, encode_y4m
-
-        rng = np.random.RandomState(seed)
-        for i in range(n):
-            kind = ("image", "audio", "video")[i % 3]
-            w, h = int(rng.randint(16, 256)), int(rng.randint(16, 256))
-            dur = int(rng.randint(100, 10_000))
-            if real_codecs and kind == "image":
-                img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-                payload, codec = encode_png(img), "png"
-            elif real_codecs and kind == "audio":
-                rate = 8000
-                t = np.arange(int(rate * dur / 1000), dtype=np.float64)
-                wave = np.sin(2 * np.pi * (100 + (i % 20) * 10) * t / rate)
-                payload, codec = encode_wav(rate, (wave * 20000).astype("<i2")), "wav"
-            elif real_codecs and kind == "video":
-                w, h = w % 48 + 16, h % 48 + 16  # keep clips fixture-sized
-                n_frames = max(1, dur * 4 // 1000)  # 4 fps
-                frames = rng.randint(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
-                payload, codec = encode_y4m(frames, fps=(4, 1)), "y4m"
-            else:
-                body = rng.bytes(int(rng.randint(64, 2048)))
-                payload, codec = struct.pack(">II", w, h) + body, "fake"
-            yield (i, kind, bytearray(payload), w, h, dur, codec)
-
-    return spark.createDataFrame(list(gen()), schema=MEDIA_SCHEMA)
+    rows = [r for r, _src in synth_media_items(n, seed, real_codecs)]
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 # --------------------------------------------------------------- decode stub
