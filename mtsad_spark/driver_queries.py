@@ -2396,6 +2396,7 @@ _PRIORITY = [
     "media_decode_features",
     # (b) oracle added after the last driver row
     "token_histogram",
+    "ann_lsh_embeddings",
     # (c) new this round (registered above/below; missing names are skipped)
     "minhash_md5_docs",
     "minhash_md5_band_pairs",
