@@ -1315,11 +1315,12 @@ def _ann_lsh_sql() -> str:
     joins candidates within a bucket, and ranks on the 6-decimal-rounded
     cosine with a neighbor-id tiebreak — the SAME rank key the operator
     uses. Sign-flip safe: min |v·plane| ≥ 5.4e-5 over these planes on every
-    sf dir (measured; fixtures are deterministic)."""
-    from mtsad_spark.fixture_cache import ensure_planes_fixture
+    sf dir (measured; fixtures are deterministic). Only the PATH is embedded
+    here (import-time); generation stays lazy in _ensure_fixtures."""
+    from mtsad_spark.fixture_cache import PLANES_PATH
 
     return f"""
-    WITH planes AS (SELECT plane_idx, plane FROM '{ensure_planes_fixture()}'
+    WITH planes AS (SELECT plane_idx, plane FROM '{PLANES_PATH}'
                     WHERE tbl = 0 AND plane_idx < 6),
          c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          bk AS (SELECT c.vec_id,
@@ -2159,11 +2160,13 @@ def _near_dup_sql() -> str:
     margins are huge (measured over every sf dir): min |v·plane| ≥ 4.9e-6
     (sign bits can't flip on ~1e-15 association noise) and min
     |cosine − 0.99| ≥ 8.6e-3 (the threshold can't flip); dup vectors use
-    floor(x·100)/100 — exact in both engines, unlike decimal rounding."""
-    from mtsad_spark.fixture_cache import ensure_planes_fixture
+    floor(x·100)/100 — exact in both engines, unlike decimal rounding. Only
+    the PATH is embedded (import-time); generation stays lazy in
+    _ensure_fixtures."""
+    from mtsad_spark.fixture_cache import PLANES_PATH
 
     return f"""
-    WITH planes AS (SELECT tbl, plane_idx, plane FROM '{ensure_planes_fixture()}'),
+    WITH planes AS (SELECT tbl, plane_idx, plane FROM '{PLANES_PATH}'),
          base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          dup AS (SELECT vec_id + 100000 AS vec_id,
                         list_transform(embedding::DOUBLE[], x -> floor(x * 100) / 100.0) AS v
@@ -2282,10 +2285,13 @@ def ensemble_stacking_1h(spark, sf_dir):
 
 
 def _media_feat_sql() -> str:
-    from mtsad_spark.fixture_cache import ensure_media_fixture
+    # path only at import time; generation stays lazy in _ensure_fixtures
+    from mtsad_spark.fixture_cache import MEDIA_FEAT_ORACLE_PATH
 
-    _, feat_path, _ = ensure_media_fixture()
-    return f"SELECT media_id, kind, width, height, n_bytes, features FROM '{feat_path}'"
+    return (
+        "SELECT media_id, kind, width, height, n_bytes, features "
+        f"FROM '{MEDIA_FEAT_ORACLE_PATH}'"
+    )
 
 
 @_q("media_decode_features", _media_feat_sql())
@@ -2310,10 +2316,13 @@ def media_decode_features(spark, sf_dir):
 
 
 def _media_frames_sql() -> str:
-    from mtsad_spark.fixture_cache import ensure_media_fixture
+    # path only at import time; generation stays lazy in _ensure_fixtures
+    from mtsad_spark.fixture_cache import MEDIA_FRAMES_ORACLE_PATH
 
-    _, _, frames_path = ensure_media_fixture()
-    return f"SELECT media_id, frame_idx, frame_ts_ms, frame_md5 FROM '{frames_path}'"
+    return (
+        "SELECT media_id, frame_idx, frame_ts_ms, frame_md5 "
+        f"FROM '{MEDIA_FRAMES_ORACLE_PATH}'"
+    )
 
 
 @_q("video_frames_y4m", _media_frames_sql())
@@ -2324,11 +2333,11 @@ def video_frames_y4m(spark, sf_dir):
     from the SOURCE frame arrays (fixture_cache.ensure_media_fixture replays
     the frame clock from the source frame count and hashes the PNG of the
     source frame — the demuxer itself never runs on the oracle side)."""
-    from mtsad_spark.fixture_cache import ensure_media_fixture
+    from mtsad_spark.fixture_cache import MEDIA_VIDEO_N, ensure_media_fixture
     from mtsad_spark.functions.multimodal import sample_frames
 
     media_path, _, _ = ensure_media_fixture()
-    media = spark.read.parquet(media_path).filter(F.col("media_id") < 30)
+    media = spark.read.parquet(media_path).filter(F.col("media_id") < MEDIA_VIDEO_N)
     out = sample_frames(media, every_ms=1000)
     return out.select(
         "media_id", "frame_idx", "frame_ts_ms", F.md5(F.col("frame")).alias("frame_md5")
