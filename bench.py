@@ -119,7 +119,12 @@ def main() -> None:
     # this host's CPU grant swings ~2-3× by the hour (BENCH/BASELINE.md
     # calibration) — each query takes the MIN of TRIALS runs so the recorded
     # number measures the engine, not the noisy neighbor
-    trials = int(os.environ.get("BENCH_TRIALS", "2"))
+    # min-of-3 by default: the host CPU grant swings 2-5x WITHIN a run
+    # (BENCH/BASELINE.md calibration); with 2 trials a mid-run slow window
+    # can hit both attempts of a heavy query (measured: seq_pipeline 12.8s
+    # at 2 trials vs 6.0s at 3 in the same session), reading as a false
+    # regression. A third attempt usually lands one in a normal window.
+    trials = int(os.environ.get("BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
     for name in headline:
         best = None
