@@ -366,36 +366,19 @@ def bitmap_grid_scores(
     warm-up/tail with zeros; the grid form leaves them out). Requires non-null
     ``val_col`` and a total order per key on ``order_col``.
     """
-    from ..operators.scoring import _global_row_numbers
-
     _check_fw_level(feature_window_size, level_size)
     fw, level = feature_window_size, level_size
     lag, lead = lag_window_size, lead_window_size
     base = bins + 2
 
     slim = df.select(*keys, order_col, val_col)
-    b = _global_row_numbers(slim, keys, order_col).withColumn(
-        "_fwi", F.floor(F.col("_rn") / fw).cast("long")
-    )
-    wstat = b.groupBy(*keys, "_fwi").agg(
-        F.min(val_col).alias("_lo"), F.max(val_col).alias("_hi")
-    )
-    gstat = b.groupBy(*keys).agg(
-        F.min(val_col).alias("_glo"), F.max(val_col).alias("_ghi")
-    )
-    j = b.join(wstat, [*keys, "_fwi"]).join(gstat, [*keys])
-    lo2 = F.when(F.col("_lo") == F.col("_hi"), F.col("_glo")).otherwise(F.col("_lo"))
-    hi2 = F.when(F.col("_lo") == F.col("_hi"), F.col("_ghi")).otherwise(F.col("_hi"))
-    step = (hi2 - lo2) / bins
-    symexpr = F.when(step == F.lit(0.0), F.lit(0)).otherwise(
-        F.least(F.floor((F.col(val_col) - lo2) / step), F.lit(bins - 1))
-    )
-    sym = j.withColumn("symbol", symexpr.cast("long")).select(
-        *keys, order_col, F.col("_rn").alias("pos"), "symbol"
-    )
     # multi-consumer frame: codes joins (level), nk, the i×offset joins and
     # the final timestamp join all re-read it — persist per CLAUDE.md
-    sym = sym.persist()
+    sym = (
+        sax_symbols_df(slim, keys, order_col, val_col, fw, bins, pos_col="pos")
+        .select(*keys, order_col, "pos", F.col("symbol").cast("long").alias("symbol"))
+        .persist()
+    )
 
     codes = sym.select(*keys, "pos", (F.col("symbol") + 1).alias("_c"))
     expr = F.col("_c").cast("long")
@@ -458,43 +441,64 @@ def bitmap_grid_scores(
 
 def sax_symbols_df(
     df: DataFrame, keys: list[str], order_col: str, val_col: str,
-    feature_window_size: int, bins: int,
+    feature_window_size: int, bins: int, pos_col: str | None = None,
 ) -> DataFrame:
     """Distributed approximate SAX: per-(key, feature-window) equal-width
     binning with floor() arithmetic (boundary values can differ from
-    np.digitize by one ulp-edge — exact parity lives in the kernel path)."""
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    pos = F.row_number().over(w) - 1
-    df = df.withColumn("_fw", F.floor(pos / feature_window_size))
-    wf = Window.partitionBy(*keys, "_fw")
-    wg = Window.partitionBy(*keys)
-    lo = F.min(val_col).over(wf)
-    hi = F.max(val_col).over(wf)
-    glo, ghi = F.min(val_col).over(wg), F.max(val_col).over(wg)
-    lo2 = F.when(lo == hi, glo).otherwise(lo)
-    hi2 = F.when(lo == hi, ghi).otherwise(hi)
+    np.digitize by one ulp-edge — exact parity lives in the kernel path).
+
+    Scale-clean: row positions come from per-(key, coarse-bucket) count
+    composition (``scoring._global_row_numbers``) and the per-window min/max
+    from a groupBy + join — no window partitioned by the bare key ever spans
+    the raw rows, so a hot key cannot serialize through one task. Pass
+    ``pos_col`` to keep the 0-based per-key position in the output."""
+    from ..operators.scoring import _global_row_numbers
+
+    b = _global_row_numbers(df, keys, order_col).withColumn(
+        "_fwi", F.floor(F.col("_rn") / feature_window_size).cast("long")
+    )
+    wstat = b.groupBy(*keys, "_fwi").agg(
+        F.min(val_col).alias("_lo"), F.max(val_col).alias("_hi")
+    )
+    gstat = b.groupBy(*keys).agg(
+        F.min(val_col).alias("_glo"), F.max(val_col).alias("_ghi")
+    )
+    j = b.join(wstat, [*keys, "_fwi"]).join(gstat, [*keys])
+    lo2 = F.when(F.col("_lo") == F.col("_hi"), F.col("_glo")).otherwise(F.col("_lo"))
+    hi2 = F.when(F.col("_lo") == F.col("_hi"), F.col("_ghi")).otherwise(F.col("_hi"))
     step = (hi2 - lo2) / bins
-    sym = F.when(step == 0, 0).otherwise(
+    sym = F.when(step == F.lit(0.0), F.lit(0)).otherwise(
         F.least(F.floor((F.col(val_col) - lo2) / step), F.lit(bins - 1))
     )
-    return df.withColumn("symbol", sym.cast("int")).drop("_fw")
+    out = j.withColumn("symbol", sym.cast("int"))
+    if pos_col is not None:
+        out = out.withColumn(pos_col, F.col("_rn"))
+    return out.drop("_rn", "_fwi", "_lo", "_hi", "_glo", "_ghi")
 
 
 def ngram_bitmap(
     symbols: DataFrame, keys: list[str], order_col: str, level: int = 3
 ) -> DataFrame:
     """A14: level-gram frequency bitmap, max-normalized, fully distributed —
-    lag-concat n-gram key → hash groupBy count → per-key max window."""
-    w = Window.partitionBy(*keys).orderBy(order_col)
-    parts = [F.col("symbol").cast("string")]
+    consecutive symbols gathered by equi-self-joins on composed row numbers
+    (no bare-key window over raw rows), n-gram string → hash groupBy count →
+    per-key max over the COUNT frame (groups bounded by the alphabet^level,
+    not the series length)."""
+    from ..operators.scoring import _global_row_numbers
+
+    b = _global_row_numbers(
+        symbols.select(*keys, order_col, "symbol"), keys, order_col
+    ).select(*keys, F.col("_rn").alias("_pos"), "symbol")
+    g = b.select(*keys, "_pos", F.col("symbol").cast("string").alias("_p0"))
+    parts = [F.col("_p0")]
     for l in range(1, level):
-        parts.append(F.lead("symbol", l).over(w).cast("string"))
-    g = (
-        symbols.withColumn("ngram", F.concat_ws(",", *parts))
-        .withColumn("_last", F.lead("symbol", level - 1).over(w))
-        .filter(F.col("_last").isNotNull())
-        .drop("_last")
-    )
+        nxt = b.select(
+            *keys, (F.col("_pos") - l).alias("_pos"),
+            F.col("symbol").cast("string").alias(f"_p{l}"),
+        )
+        g = g.join(nxt, [*keys, "_pos"])  # inner join drops incomplete tails
+        parts.append(F.col(f"_p{l}"))
+    g = g.withColumn("ngram", F.concat_ws(",", *parts))
     counts = g.groupBy(*keys, "ngram").agg(F.count("*").alias("freq"))
     wmax = Window.partitionBy(*keys)
     return counts.withColumn("freq", F.col("freq") / F.max("freq").over(wmax))

@@ -186,6 +186,30 @@ def test_dedup_pipeline_has_no_cartesian_or_pair_broadcast(spark):
     assert "ResolvedHint" not in analyzed
 
 
+def _assert_no_bare_key_window_over_raw_rows(q):
+    """Every keys-only Window must sit over an aggregate-sized frame; raw-row
+    windows must carry the coarse bucket (_cb) in their partition spec. The
+    persisted frames render their CACHED PHYSICAL plan inline, so the
+    aggregate may sit under Sort/Exchange nodes — skip those."""
+    tree = q._jdf.queryExecution().optimizedPlan().toString()
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        spec = line.split("], [")[1]
+        if "_cb#" in spec:
+            continue  # (key, coarse-bucket) window — parallel
+        child = ""
+        for below in lines[i + 1 :]:
+            if " Sort [" in below or "Exchange " in below:
+                continue
+            child = below
+            break
+        assert "Aggregate" in child, (
+            f"keys-only Window over a non-aggregate child:\n{line}\n{child}"
+        )
+
+
 def test_bitmap_grid_scorer_is_jvm_only_and_scale_clean(spark, events):
     """The distributed grid bitmap scorer must stay entirely JVM-side (no
     Python eval nodes of any kind) and must not window raw rows partitioned
@@ -205,22 +229,23 @@ def test_bitmap_grid_scorer_is_jvm_only_and_scale_clean(spark, events):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
-    tree = q._jdf.queryExecution().optimizedPlan().toString()
-    lines = tree.splitlines()
-    for i, line in enumerate(lines):
-        if "Window [" not in line:
-            continue
-        spec = line.split("], [")[1]
-        if "_cb#" in spec:
-            continue  # (key, coarse-bucket) window — parallel
-        # the persisted frames render their CACHED PHYSICAL plan inline, so
-        # the aggregate may sit under Sort/Exchange nodes — skip those
-        child = ""
-        for below in lines[i + 1 :]:
-            if " Sort [" in below or "Exchange " in below:
-                continue
-            child = below
-            break
-        assert "Aggregate" in child, (
-            f"keys-only Window over a non-aggregate child:\n{line}\n{child}"
-        )
+    _assert_no_bare_key_window_over_raw_rows(q)
+
+
+def test_sax_and_ngram_bitmap_are_scale_clean(spark, events):
+    """The corpus-scale bitmap algebra (sax_symbols_df → ngram_bitmap) must
+    not window raw rows by the bare key either — positions come from the
+    per-bucket count composition, consecutive symbols from equi-self-joins.
+    (The only allowed keys-only window is the max over the n-gram COUNT
+    frame, whose groups are bounded by alphabet^level.)"""
+    from mtsad_spark.functions.tsbitmap import ngram_bitmap, sax_symbols_df
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("v"))
+    sym = sax_symbols_df(hourly, ["event_type"], "bucket_ts", "v",
+                         feature_window_size=24, bins=5)
+    bm = ngram_bitmap(sym, ["event_type"], "bucket_ts", level=3)
+    _assert_no_bare_key_window_over_raw_rows(bm)
+    p = plan_of(bm)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
