@@ -213,6 +213,30 @@ def test_bitmap_grid_scores_matches_numpy_mirror(spark):
             assert r["score"] == score  # single division on identical ints
 
 
+def test_bitmap_grid_scores_tail_windows_match_mirror(spark):
+    """Tail branch: when the feature window does not divide the chunk sizes
+    (fw=7, lag=30, lead=20 → both chunks end in a partial window), the
+    counted-offset pattern includes the tail run and the Spark grid stays
+    integer-exact vs the mirror."""
+    fw, bins, level, lag, lead = 7, 4, 2, 30, 20
+    rng = np.random.RandomState(23)
+    vals = np.round(rng.rand(140) * 25, 2)
+    want = _np_grid_scores(vals, fw, bins, level, lag, lead)
+    pdf = pd.DataFrame({"k": "t", "idx": np.arange(140, dtype=float), "v": vals})
+    got = (
+        bitmap_grid_scores(
+            spark.createDataFrame(pdf), ["k"], "idx", "v", fw, bins, level, lag, lead
+        )
+        .orderBy("pos")
+        .toPandas()
+    )
+    assert list(got["pos"]) == sorted(want)
+    for _, r in got.iterrows():
+        num, ma, mb, score = want[r["pos"]]
+        assert (r["score_num"], r["ma"], r["mb"]) == (num, ma, mb)
+        assert r["score"] == score
+
+
 def test_bitmap_grid_scores_consistent_with_kernel(spark):
     """When floor-SAX and np.digitize-SAX agree on the data (integer-valued
     series — no bin-edge ulp ambiguity), the grid score equals the kernel's
