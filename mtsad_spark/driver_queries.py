@@ -2288,9 +2288,18 @@ def _media_feat_sql() -> str:
     # path only at import time; generation stays lazy in _ensure_fixtures
     from mtsad_spark.fixture_cache import MEDIA_FEAT_ORACLE_PATH
 
+    # scalar projection: one row per (media_id, feat_idx) — the driver's
+    # canonicalizer sorts rows by every column with pandas sort_values, which
+    # throws `unhashable type: 'list'` on array cells (the ONLY never-green
+    # driver row in r1-r3 was exactly that). posexplode/unnest keeps every
+    # value scalar on both sides.
     return (
-        "SELECT media_id, kind, width, height, n_bytes, features "
-        f"FROM '{MEDIA_FEAT_ORACLE_PATH}'"
+        "SELECT media_id, kind, width, height, n_bytes, "
+        "       CAST(idx1 - 1 AS INT) AS feat_idx, feature "
+        "FROM (SELECT media_id, kind, width, height, n_bytes, "
+        "             generate_subscripts(features, 1) AS idx1, "
+        "             unnest(features) AS feature "
+        f"      FROM '{MEDIA_FEAT_ORACLE_PATH}')"
     )
 
 
@@ -2302,7 +2311,9 @@ def media_decode_features(spark, sf_dir):
     EXPECTED features derived from the SOURCE pixel/sample/frame arrays
     (fixture_cache.ensure_media_fixture — never runs the decoders), so the
     driver cross-checks encode → demux/decode → featurize against source
-    truth, the ARFF/MAT independence pattern."""
+    truth, the ARFF/MAT independence pattern. Output is posexploded to one
+    scalar row per feature slot (see _media_feat_sql) so the driver's
+    row-sort canonicalizer never sees an array cell."""
     from mtsad_spark.fixture_cache import ensure_media_fixture
     from mtsad_spark.functions.multimodal import decode_features
 
@@ -2311,7 +2322,9 @@ def media_decode_features(spark, sf_dir):
     out = decode_features(media, n_features=8)
     return out.select(
         "media_id", "kind", "width", "height", "n_bytes",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.posexplode(
+            F.transform("features", lambda x: F.round(x, 6))
+        ).alias("feat_idx", "feature"),
     )
 
 

@@ -326,6 +326,14 @@ def grid_offsets(size: int, fw: int, level: int) -> list[int]:
     ints (pure function of the chunk LENGTH, so it can be inlined as a
     literal array in both the Spark plan and a SQL oracle)."""
     pos, _, _ = _counted_pattern(size, fw, level)
+    if len(pos) == 0:
+        # an empty pattern would make the offset explode produce no rows and
+        # the whole query silently return empty — the exact silent-degenerate
+        # failure mode _check_fw_level guards against (ADVICE r03)
+        raise ValueError(
+            f"chunk size ({size}) must be >= level_size ({level}): "
+            "a chunk must hold at least one complete n-gram"
+        )
     return [int(p) for p in pos]
 
 
@@ -369,6 +377,13 @@ def bitmap_grid_scores(
     _check_fw_level(feature_window_size, level_size)
     fw, level = feature_window_size, level_size
     lag, lead = lag_window_size, lead_window_size
+    # a lag/lead chunk shorter than the n-gram counts nothing — reject loudly
+    # instead of silently returning an empty frame (ADVICE r03)
+    if lag < level or lead < level:
+        raise ValueError(
+            f"lag_window_size ({lag}) and lead_window_size ({lead}) must both "
+            f"be >= level_size ({level}): a chunk must hold one complete n-gram"
+        )
     base = bins + 2
 
     slim = df.select(*keys, order_col, val_col)
@@ -390,12 +405,17 @@ def bitmap_grid_scores(
         expr = expr * base + F.col(f"_c{l}")
     codes = codes.select(*keys, "pos", expr.alias("code")).persist()
 
+    # interior positions i ∈ [lag, n_k − lead], derived ROW-PARALLEL from the
+    # existing per-position rows (ADVICE r03): a sequence(lag, n−lead) on the
+    # one-row-per-key nk frame would materialize a single array proportional
+    # to the SERIES length in one task (and Spark caps sequence length at
+    # ~2^31) — the exact hot-key shape this operator bans everywhere else.
     nk = sym.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    ii = nk.filter(F.col("_n") - lead >= lag).select(
-        *keys,
-        F.explode(
-            F.sequence(F.lit(lag).cast("long"), (F.col("_n") - lead).cast("long"))
-        ).alias("i"),
+    ii = (
+        sym.select(*keys, F.col("pos").alias("i"))
+        .join(nk, [*keys])
+        .filter((F.col("i") >= lag) & (F.col("i") <= F.col("_n") - lead))
+        .select(*keys, "i")
     )
 
     def _side(offsets: list[int], start_shift: int, cnt_name: str) -> DataFrame:

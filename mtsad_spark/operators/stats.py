@@ -46,8 +46,16 @@ def sigma_rule_stationary(
     centered MA, STATIONARY population σ per key, |resid| > kσ ⇒ +1."""
     out = moving_average_same(df, keys, order_col, val_col, w)
     out = out.withColumn("resid", F.col(val_col) - F.col("ma"))
-    wk = Window.partitionBy(*keys)
-    out = out.withColumn("sigma", F.stddev_pop("resid").over(wk))
+    # stationary σ per key: tiny fit aggregate + broadcast apply — NOT a
+    # bare-key aggregate window over the raw rows (that shape funnels every
+    # row of a hot key through one task at scale; plan-guarded in
+    # tests/test_plans.py::test_no_bare_or_empty_key_aggregate_windows)
+    sig = out.groupBy(*keys).agg(F.stddev_pop("resid").alias("sigma"))
+    out = (
+        out.join(F.broadcast(sig), keys, "left")
+        if keys
+        else out.crossJoin(F.broadcast(sig))
+    )
     return out.withColumn(
         "label",
         F.when(F.abs(F.col("resid")) > k * F.col("sigma"), F.lit(1)).otherwise(F.lit(-1)),
@@ -77,16 +85,22 @@ def sigma_rule_rolling(
 def znorm(df: DataFrame, val_cols: list[str], keys: list[str] | None = None) -> DataFrame:
     """A1: x := (x − mean)/std_pop per key group (global when keys empty).
 
-    Uses an empty/keyed Window so Catalyst computes the stats in-plan —
-    no collect, no crossJoin with a driver-side literal.
+    Scale shape (VERDICT r03 #2): tiny fit aggregate (map-side combined,
+    fully parallel) + broadcast-join apply — the ``minmax_fit``/``apply``
+    pattern. The previous empty/bare-key aggregate Window funneled every raw
+    row through one task per key at scale; plan-guarded now in
+    tests/test_plans.py::test_no_bare_or_empty_key_aggregate_windows.
+    No collect: the stats frame stays a DataFrame (one row per key group).
     """
-    wk = Window.partitionBy(*(keys or []))
-    out = df
+    keys = keys or []
+    aggs = []
     for c in val_cols:
-        mu = F.avg(c).over(wk)
-        sd = F.stddev_pop(c).over(wk)
-        out = out.withColumn(c, (F.col(c) - mu) / sd)
-    return out
+        aggs += [F.avg(c).alias(f"{c}__mu"), F.stddev_pop(c).alias(f"{c}__sd")]
+    stats = df.groupBy(*keys).agg(*aggs)
+    out = df.join(F.broadcast(stats), keys, "left") if keys else df.crossJoin(F.broadcast(stats))
+    for c in val_cols:
+        out = out.withColumn(c, (F.col(c) - F.col(f"{c}__mu")) / F.col(f"{c}__sd"))
+    return out.drop(*[f"{c}__{m}" for c in val_cols for m in ("mu", "sd")])
 
 
 def minmax_fit(train: DataFrame, val_cols: list[str], keys: list[str] | None = None) -> DataFrame:

