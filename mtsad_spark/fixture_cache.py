@@ -269,6 +269,180 @@ def ensure_planes_fixture() -> str:
     return PLANES_PATH
 
 
+CSV_FIX_PATH = f"{CACHE_DIR}/mts_fixture.csv"
+TSV_FIX_PATH = f"{CACHE_DIR}/mts_fixture.tsv"
+SERIES_TXT_PATH = f"{CACHE_DIR}/series_fixture.txt"
+SERIES_ORACLE_PATH = f"{CACHE_DIR}/series_expected.parquet"
+CSV_N, CSV_NV, CSV_SEED = 500, 10, 1234
+SERIES_N = 400
+
+
+def ensure_reader_fixtures() -> None:
+    """Deterministic CSV / TSV / whitespace-text inputs for the reader
+    queries (SURVEY.md S1/S2/S3/S6, P2): both engines parse the SAME text
+    bytes — sources/readers.read_mts_table vs DuckDB ``read_csv`` — so the
+    driver cross-checks the format parser itself, the ARFF/MAT independence
+    pattern. The float-series text file gets an EXPECTED parquet written
+    straight from the source array instead (DuckDB preserves no file line
+    order), and deliberately contains leading whitespace and blank lines the
+    np.loadtxt-analog reader must trim and skip.
+
+    Values are formatted with exactly 2 (CSV/TSV) / 6 (series) decimals so
+    text→double parses to the identical double in both engines."""
+    paths = (CSV_FIX_PATH, TSV_FIX_PATH, SERIES_TXT_PATH, SERIES_ORACLE_PATH)
+    if all(os.path.exists(p) for p in paths):
+        return
+    import pandas as pd
+
+    rng = np.random.RandomState(CSV_SEED)
+    n = CSV_N
+    cols = {f"v{i}": np.round(rng.randn(n) * 10 + 50, 2) for i in range(CSV_NV)}
+    tag = np.where(rng.rand(n) < 0.15, "anormal", "normal")
+    header = ["t", "ts", *cols.keys(), "tag"]
+    rows = []
+    for i in range(n):
+        ts = f"2024-01-01 {i // 3600:02d}:{(i // 60) % 60:02d}:{i % 60:02d}"
+        rows.append(
+            [str(i), ts, *(f"{cols[c][i]:.2f}" for c in cols), tag[i]]
+        )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    for path, sep in ((CSV_FIX_PATH, ","), (TSV_FIX_PATH, "\t")):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(sep.join(header) + "\n")
+            f.write("\n".join(sep.join(r) for r in rows) + "\n")
+        os.replace(tmp, path)
+    # whitespace float series (np.loadtxt analog): leading spaces + blank
+    # lines every 50th data line — the reader must trim/skip them
+    vals = np.round(rng.randn(SERIES_N) * 5 + 20, 6)
+    lines = []
+    for i, v in enumerate(vals):
+        if i % 50 == 25:
+            lines.append("")
+        lines.append(f"  {v:.6f}")
+    tmp = f"{SERIES_TXT_PATH}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, SERIES_TXT_PATH)
+    pdf = pd.DataFrame({"idx": np.arange(SERIES_N, dtype=np.int64), "value": vals})
+    tmp = f"{SERIES_ORACLE_PATH}.tmp.{os.getpid()}"
+    pdf.to_parquet(tmp)
+    os.replace(tmp, SERIES_ORACLE_PATH)
+
+
+SIGNAL_FIX_PATH = f"{CACHE_DIR}/signal_fixture.parquet"
+SIGNAL_FFT_ORACLE_PATH = f"{CACHE_DIR}/signal_fft_expected.parquet"
+SIGNAL_HP_ORACLE_PATH = f"{CACHE_DIR}/signal_hp_expected.parquet"
+SIGNAL_KEYS, SIGNAL_N, SIGNAL_SEED = 4, 512, 2026
+FFT_LOW_CUT, FFT_K = 0.05, 2.0
+HP_LAMB, HP_K = 1600.0, 3.0
+
+
+def ensure_signal_fixture() -> tuple[str, str, str]:
+    """Deterministic multi-key series plus EXPECTED FFT band-stop and HP
+    residuals computed by INDEPENDENT implementations (VERDICT r03 next #4):
+    the FFT expectation is a direct O(n²) DFT matrix product (never np.fft,
+    which the engine kernel uses), the HP expectation a DENSE
+    ``np.linalg.solve`` of (I + λDᵀD) (never the engine's O(n) penta LDLᵀ).
+
+    Cross-engine float discipline: both implementations are verified at
+    build time to agree with the engine-formula results to <1e-8 AND to sit
+    >1e-9 away from every 6-decimal rounding boundary and every
+    label-threshold boundary, so round(x, 6) and the k·σ / k labels are
+    bitwise-stable across the implementation gap (the epsilon_f1 round-the-
+    derived-column discipline, with the hazard asserted instead of assumed)."""
+    if all(
+        os.path.exists(p)
+        for p in (SIGNAL_FIX_PATH, SIGNAL_FFT_ORACLE_PATH, SIGNAL_HP_ORACLE_PATH)
+    ):
+        return SIGNAL_FIX_PATH, SIGNAL_FFT_ORACLE_PATH, SIGNAL_HP_ORACLE_PATH
+    import pandas as pd
+
+    rng = np.random.RandomState(SIGNAL_SEED)
+    n, nk = SIGNAL_N, SIGNAL_KEYS
+    src_rows, fft_rows, hp_rows = [], [], []
+
+    t_idx = np.arange(n)
+    # direct DFT matrices (independent of np.fft)
+    W = np.exp(-2j * np.pi * np.outer(t_idx, t_idx) / n)
+    freqs = ((t_idx + n // 2) % n - n // 2) / n
+    keep = np.abs(freqs) >= FFT_LOW_CUT
+    for ki in range(nk):
+        y = (
+            10.0 * np.sin(2 * np.pi * t_idx / 64.0)
+            + 0.02 * t_idx
+            + rng.randn(n)
+        )
+        spikes = rng.choice(n, size=6, replace=False)
+        y[spikes] += 8.0
+        y = np.round(y, 6)
+        key = f"s{ki}"
+        for i in range(n):
+            src_rows.append((key, int(i), float(y[i])))
+        # FFT band-stop residual, direct DFT
+        spec = W @ y
+        resid = np.real(np.conj(W) @ (spec * keep)) / n
+        sigma = resid.std()
+        label = np.where(np.abs(resid) > FFT_K * sigma, 1, -1)
+        # guards: the engine kernel recomputes with np.fft on these same
+        # doubles — assert the independent DFT and the library FFT agree
+        # AFTER round(,6) and on every label, i.e. no value straddles a
+        # rounding or k·σ boundary across the implementation gap
+        spec2 = np.fft.fft(y)
+        spec2[np.abs(np.fft.fftfreq(n)) < FFT_LOW_CUT] = 0
+        resid2 = np.real(np.fft.ifft(spec2))
+        assert np.abs(resid - resid2).max() < 1e-8, "DFT vs FFT drifted"
+        assert (np.round(resid, 6) == np.round(resid2, 6)).all(), "fft round boundary"
+        label2 = np.where(np.abs(resid2) > FFT_K * resid2.std(), 1, -1)
+        assert (label == label2).all(), "fft label boundary"
+        for i in range(n):
+            fft_rows.append((key, int(i), round(float(resid[i]), 6), int(label[i])))
+        # HP trend via DENSE solve (independent of the engine's penta LDLt)
+        m = n - 2
+        D = np.zeros((m, n))
+        for r in range(m):
+            D[r, r : r + 3] = (1.0, -2.0, 1.0)
+        A = np.eye(n) + HP_LAMB * (D.T @ D)
+        trend = np.linalg.solve(A, y)
+        resid_hp = y - trend
+        med = np.median(resid_hp)
+        mad = np.median(np.abs(resid_hp - med))
+        mod_z = 0.6745 * np.abs(resid_hp - med) / mad
+        label_hp = np.where(mod_z > HP_K, 1, -1)
+        # same discipline vs the engine's penta solve (the exact code the
+        # kernel will run): rounded trend/mod_z and labels must be identical
+        from mtsad_spark.functions.signal import _hp_filter
+
+        trend2 = _hp_filter(y, HP_LAMB)
+        resid2_hp = y - trend2
+        med2 = np.median(resid2_hp)
+        mad2 = np.median(np.abs(resid2_hp - med2))
+        mod_z2 = 0.6745 * np.abs(resid2_hp - med2) / mad2
+        assert np.abs(trend - trend2).max() < 1e-8, "dense vs penta drifted"
+        assert (np.round(trend, 6) == np.round(trend2, 6)).all(), "hp trend boundary"
+        assert (np.round(mod_z, 6) == np.round(mod_z2, 6)).all(), "hp mod_z boundary"
+        assert (label_hp == np.where(mod_z2 > HP_K, 1, -1)).all(), "hp label boundary"
+        for i in range(n):
+            hp_rows.append(
+                (key, int(i), round(float(trend[i]), 6), round(float(mod_z[i]), 6), int(label_hp[i]))
+            )
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    frames = {
+        SIGNAL_FIX_PATH: pd.DataFrame(src_rows, columns=["key", "t", "value"]),
+        SIGNAL_FFT_ORACLE_PATH: pd.DataFrame(
+            fft_rows, columns=["key", "t", "resid", "label"]
+        ),
+        SIGNAL_HP_ORACLE_PATH: pd.DataFrame(
+            hp_rows, columns=["key", "t", "trend", "mod_z", "label"]
+        ),
+    }
+    for path, pdf in frames.items():
+        tmp = f"{path}.tmp.{os.getpid()}"
+        pdf.to_parquet(tmp)
+        os.replace(tmp, path)
+    return SIGNAL_FIX_PATH, SIGNAL_FFT_ORACLE_PATH, SIGNAL_HP_ORACLE_PATH
+
+
 MEDIA_FIX_PATH = f"{CACHE_DIR}/media_fixture.parquet"
 MEDIA_FEAT_ORACLE_PATH = f"{CACHE_DIR}/media_features_expected.parquet"
 MEDIA_FRAMES_ORACLE_PATH = f"{CACHE_DIR}/media_frames_expected.parquet"

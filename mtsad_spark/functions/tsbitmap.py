@@ -497,13 +497,16 @@ def sax_symbols_df(
 
 
 def ngram_bitmap(
-    symbols: DataFrame, keys: list[str], order_col: str, level: int = 3
+    symbols: DataFrame, keys: list[str], order_col: str, level: int = 3,
+    normalize: bool = True,
 ) -> DataFrame:
     """A14: level-gram frequency bitmap, max-normalized, fully distributed —
     consecutive symbols gathered by equi-self-joins on composed row numbers
     (no bare-key window over raw rows), n-gram string → hash groupBy count →
     per-key max over the COUNT frame (groups bounded by the alphabet^level,
-    not the series length)."""
+    not the series length). ``normalize=False`` keeps the raw integer counts
+    (``freq`` BIGINT) — the exact-arithmetic input
+    :func:`bitmap_distance_join_exact` needs."""
     from ..operators.scoring import _global_row_numbers
 
     b = _global_row_numbers(
@@ -520,6 +523,8 @@ def ngram_bitmap(
         parts.append(F.col(f"_p{l}"))
     g = g.withColumn("ngram", F.concat_ws(",", *parts))
     counts = g.groupBy(*keys, "ngram").agg(F.count("*").alias("freq"))
+    if not normalize:
+        return counts
     wmax = Window.partitionBy(*keys)
     return counts.withColumn("freq", F.col("freq") / F.max("freq").over(wmax))
 
@@ -534,3 +539,33 @@ def bitmap_distance_join(
     j = a.join(b, [*keys, "ngram"], "full_outer")
     d = F.coalesce(F.col("fa"), F.lit(0.0)) - F.coalesce(F.col("fb"), F.lit(0.0))
     return j.groupBy(*keys).agg(F.sum(d * d).alias("distance"))
+
+
+def bitmap_distance_join_exact(
+    cnt_a: DataFrame, cnt_b: DataFrame, keys: list[str]
+) -> DataFrame:
+    """J4/A15 in EXACT integer arithmetic: the same full-outer bitmap union
+    (tsbitmapper.py:251-269), but over RAW counts (``ngram_bitmap(...,
+    normalize=False)``): with per-key max counts Ma/Mb, the normalized
+    squared distance Σ(ca/Ma − cb/Mb)² = Σ(ca·Mb − cb·Ma)² / (Ma·Mb)², so
+    the sum stays a BIGINT (order-independent across any parallelism) and
+    ONE final float division makes the result bitwise-identical in any
+    engine — the bitmap_grid_scores integer-numerator discipline."""
+    ma = cnt_a.groupBy(*keys).agg(F.max("freq").alias("_ma"))
+    mb = cnt_b.groupBy(*keys).agg(F.max("freq").alias("_mb"))
+    a = cnt_a.select(*keys, "ngram", F.col("freq").alias("ca"))
+    b = cnt_b.select(*keys, "ngram", F.col("freq").alias("cb"))
+    j = a.join(b, [*keys, "ngram"], "full_outer").join(ma, [*keys]).join(mb, [*keys])
+    term = (
+        F.coalesce(F.col("ca"), F.lit(0)) * F.col("_mb")
+        - F.coalesce(F.col("cb"), F.lit(0)) * F.col("_ma")
+    )
+    num = j.groupBy(*keys).agg(
+        F.sum(term * term).alias("dist_num"),
+        F.first("_ma").alias("ma"),
+        F.first("_mb").alias("mb"),
+    )
+    den = (F.col("ma") * F.col("mb")) * (F.col("ma") * F.col("mb"))
+    return num.withColumn(
+        "distance", F.col("dist_num").cast("double") / den.cast("double")
+    )

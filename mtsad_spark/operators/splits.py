@@ -70,6 +70,29 @@ def dropin_augment(df: DataFrame, factor_max: int = 10, seed: int = 42) -> DataF
     return df.withColumn("_k", F.explode(reps)).drop("_k")
 
 
+def dropin_augment_hashed(
+    df: DataFrame, id_col: str, factor_max: int = 10, seed: int = 42
+) -> DataFrame:
+    """O8, portable/deterministic form: duplicate each row
+    ``md5_hash(seed|id) % factor_max`` times (reference semantics of
+    lstm_model.py:142-157, with the rand() draw replaced by a content hash).
+
+    Unlike :func:`dropin_augment`, the copy count is partitioning-independent
+    and reproducible in any engine that has md5 — the same portability move
+    as the md5 MinHash/SimHash variants. n == 0 drops the row (via the empty
+    array, not sequence(1, 0) which counts down)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    n = (h % factor_max).cast("int")
+    reps = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("_k", F.explode(reps)).drop("_k")
+
+
 def label_encode(df: DataFrame, col: str, mapping: dict[str, int], out_col: str | None = None) -> DataFrame:
     """P9: explicit string→int encode (when/otherwise chain), e.g.
     {'anormal': 1, 'normal': -1} per reference prediction/lstm_model.py:25."""

@@ -142,6 +142,18 @@ def test_distributed_bitmap_algebra(spark):
     assert d > 0
     dd = bitmap_distance_join(bma, bma, ["g"]).collect()[0]["distance"]
     assert dd == 0.0
+    # exact-integer form: Σ(ca·Mb − cb·Ma)²/(Ma·Mb)² must equal the float
+    # form computed from the max-normalized bitmaps (same full-outer union)
+    from mtsad_spark.functions.tsbitmap import bitmap_distance_join_exact
+
+    ca = ngram_bitmap(sym, ["k"], "idx", level=3, normalize=False)
+    cnt_a = ca.filter("k='a'").drop("k").withColumn("g", F.lit(1))
+    cnt_b = ca.filter("k='b'").drop("k").withColumn("g", F.lit(1))
+    ex = bitmap_distance_join_exact(cnt_a, cnt_b, ["g"]).collect()[0]
+    assert ex["dist_num"] > 0 and ex["ma"] > 0 and ex["mb"] > 0
+    assert np.isclose(ex["distance"], d, rtol=1e-12)
+    exx = bitmap_distance_join_exact(cnt_a, cnt_a, ["g"]).collect()[0]
+    assert exx["dist_num"] == 0 and exx["distance"] == 0.0
 
 
 def _np_grid_scores(vals, fw, bins, level, lag, lead):

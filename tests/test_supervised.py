@@ -142,3 +142,22 @@ def test_label_encode_and_dropin(spark):
     assert 200 * 2 < n < 200 * 10  # E ≈ 5x, bounded outcome
     # deterministic across reruns
     assert aug.count() == n
+
+
+def test_dropin_augment_hashed_matches_md5_oracle(spark):
+    """Portable O8 variant: copy counts must equal an independent hashlib.md5
+    computation per id, be partitioning-independent, and drop n==0 rows."""
+    import hashlib
+
+    from mtsad_spark.operators.splits import dropin_augment_hashed
+
+    base = spark.range(100).withColumn("v", F.col("id") * 2)
+    aug = dropin_augment_hashed(base, "id", factor_max=10, seed=42)
+    got = aug.groupBy("id").count().toPandas().set_index("id")["count"].to_dict()
+    for i in range(100):
+        n = int(hashlib.md5(f"42|{i}".encode()).hexdigest()[:8], 16) % 10
+        assert got.get(i, 0) == n, f"id {i}: expected {n} copies, got {got.get(i, 0)}"
+    # partitioning-independent: same multiset under a different layout
+    re = dropin_augment_hashed(base.repartition(7), "id", factor_max=10, seed=42)
+    got2 = re.groupBy("id").count().toPandas().set_index("id")["count"].to_dict()
+    assert got == got2
