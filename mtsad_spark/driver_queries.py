@@ -39,6 +39,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents scan, re-spread when the file layout yields fewer splits
+    than the session's parallelism. The sandbox corpus is ONE sub-16m parquet
+    file → a 1-task scan, which serializes every per-doc string kernel
+    (lowercase, regex split, shingling, hashing) through one core — measured
+    3.2× on the minhash pipeline at sf0.1. The repartition only fires when
+    splits < cores; a real 100 TB corpus has thousands of splits and never
+    pays the shuffle."""
+    df = _t(spark, sf_dir, "documents")
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
 def _ensure_fixtures() -> None:
     from mtsad_spark.fixture_cache import (
         ensure_arff_fixture,
@@ -874,7 +889,7 @@ def props_json_extract(spark, sf_dir):
 def dedup_exact_docs(spark, sf_dir):
     from mtsad_spark.operators.dedup import exact_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return exact_dedup(docs, "doc_id", "text")
 
 
@@ -893,7 +908,7 @@ def drop_exact_dups_docs(spark, sf_dir):
     the drop_exact_dups operator end-to-end, not just the group table."""
     from mtsad_spark.operators.dedup import drop_exact_dups
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return drop_exact_dups(docs, "doc_id", "text").select("doc_id", "source", "n_chars")
 
 
@@ -911,7 +926,7 @@ def drop_exact_dups_docs(spark, sf_dir):
 def docs_quality(spark, sf_dir):
     from mtsad_spark.functions.text import with_quality_features
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = with_quality_features(docs, "text")
     return out.select(
         "doc_id",
@@ -932,7 +947,7 @@ def docs_quality(spark, sf_dir):
 def docs_fingerprint(spark, sf_dir):
     from mtsad_spark.functions.text import content_fingerprint
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
 
 
@@ -949,7 +964,7 @@ def docs_fingerprint(spark, sf_dir):
 def docs_token_stats_by_source(spark, sf_dir):
     from mtsad_spark.functions.text import whitespace_token_count
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     n = whitespace_token_count(F.col("text"))
     return docs.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -1020,7 +1035,7 @@ def minhash_near_dups_docs(spark, sf_dir):
     oracled exhaustively by jaccard_all_pairs_docs instead."""
     from mtsad_spark.operators.dedup import minhash_dedup
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_dedup(docs, "doc_id", "text", k=3, n_hashes=64, bands=16, threshold=0.5)
 
 
@@ -1055,7 +1070,7 @@ def _minhash_md5_sigs(spark, sf_dir):
     one hash-groupBy with algebraic min aggregates, map-side combined."""
     from mtsad_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", k=3)
     aggs = [
         F.min(
@@ -1144,7 +1159,7 @@ _JACCARD_PAIRS_CTE = r"""
 def _jaccard_pairs_df(spark, sf_dir):
     from mtsad_spark.operators.dedup import jaccard_pairs, word_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = word_shingles(docs, "doc_id", "text", k=3).persist()
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -1223,7 +1238,7 @@ def simhash_md5_docs(spark, sf_dir):
     portable 60-bit md5-derived token hash (DuckDB lacks xxhash64, so the
     production simhash_docs stays rows-only; this variant proves the
     aggregation algebra itself)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok")
     ).filter(F.length("tok") > 0)
@@ -1279,7 +1294,7 @@ def simhash_docs(spark, sf_dir):
     algebra is oracled by simhash_md5_docs with a portable hash."""
     from mtsad_spark.operators.dedup import simhash
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash(docs, "doc_id", "text")
 
 
@@ -1308,7 +1323,7 @@ def lang_id_docs(spark, sf_dir):
     strict >), which the oracle's cascaded >= CASE reproduces exactly."""
     from mtsad_spark.functions.text import with_lang_id
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return with_lang_id(docs, "text").select("doc_id", "lang_pred")
 
 
@@ -1691,7 +1706,7 @@ def rolling_hash_fingerprints_docs(spark, sf_dir):
     machinery is oracled by substring_fingerprints_md5_docs."""
     from mtsad_spark.functions.text import rolling_hash_fingerprints
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return rolling_hash_fingerprints(docs, "doc_id", "text", window=32, stride=16)
 
 
@@ -1710,7 +1725,7 @@ def substring_fingerprints_md5_docs(spark, sf_dir):
     hash (md5 exists in both engines) — oracles the exact window/stride/
     normalization machinery that rolling_hash_fingerprints runs with the
     faster JVM xxhash64 (which DuckDB lacks, hence that query is rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     window, stride = 32, 16
     norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
     positions = F.sequence(
@@ -1726,7 +1741,7 @@ def simhash_dup_pairs_docs(spark, sf_dir):
     contract is pytest-golden (crafted 6-bit-spread pair)."""
     from mtsad_spark.operators.dedup import simhash, simhash_dup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_dup_pairs(simhash(docs, "doc_id", "text"), "doc_id", max_hamming=8)
 
 

@@ -284,7 +284,8 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
 
 
 def simhash_dup_pairs(
-    sigs: DataFrame, id_col: str, max_hamming: int = 3
+    sigs: DataFrame, id_col: str, max_hamming: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -294,7 +295,14 @@ def simhash_dup_pairs(
     all d+1 chunks) — bucket equi-join per chunk, then exact popcount verify.
     Chunk count therefore GROWS with max_hamming (capped at 16 → recall is
     complete for max_hamming ≤ 15; beyond that, use multiple simhash seeds).
-    """
+
+    ``max_bucket`` is the hot-bucket guard (VERDICT r03 #5): near-empty or
+    boilerplate documents all hash to the same simhash, and one degenerate
+    chunk value turns the per-chunk self-join quadratic. Chunk buckets larger
+    than the cap are EXCLUDED from candidate generation — audit the excluded
+    mass with :func:`simhash_oversize_buckets` (no silent caps); identical
+    documents are exact duplicates and belong to the exact-dedup pre-pass.
+    ``None`` disables the guard (the pre-cap behavior)."""
     n_chunks = min(max_hamming + 1, 16)
     base_w = 64 // n_chunks
     # every bit must belong to exactly one chunk or the pigeonhole breaks:
@@ -314,6 +322,16 @@ def simhash_dup_pairs(
     for c in range(n_chunks):
         l = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
         r = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), F.col(f"c{c}").alias("ck"))
+        if max_bucket is not None:
+            ok = (
+                s.groupBy(F.col(f"c{c}").alias("ck"))
+                .agg(F.count(F.lit(1)).alias("_bn"))
+                .filter(F.col("_bn") <= max_bucket)
+                .select("ck")
+            )
+            # bucket list is corpus-proportional — shuffled equi-join, no
+            # broadcast hint (AQE may promote a small side at runtime)
+            l = l.join(ok, "ck")
         p = l.join(r, ["ck"]).filter(F.col("id_a") < F.col("id_b")).drop("ck")
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.distinct()
@@ -323,3 +341,32 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_oversize_buckets(
+    sigs: DataFrame, id_col: str, max_hamming: int = 3, max_bucket: int = 100_000
+) -> DataFrame:
+    """Audit companion to :func:`simhash_dup_pairs`'s hot-bucket guard:
+    ``(chunk, ck, n)`` for every chunk bucket the cap would exclude — count
+    or sink this next to the dedup run so capped coverage is recorded."""
+    n_chunks = min(max_hamming + 1, 16)
+    base_w = 64 // n_chunks
+    widths = [base_w] * (n_chunks - 1) + [64 - base_w * (n_chunks - 1)]
+    offsets = [base_w * c for c in range(n_chunks)]
+    out = None
+    for c, (off, w) in enumerate(zip(offsets, widths)):
+        ck = (
+            F.col("simhash")
+            if w == 64
+            else F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        g = (
+            sigs.select(ck.alias("ck"))
+            .groupBy("ck")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > max_bucket)
+            .withColumn("chunk", F.lit(c))
+            .select("chunk", "ck", "n")
+        )
+        out = g if out is None else out.unionByName(g)
+    return out

@@ -209,6 +209,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     seed: int = 42,
     n_tables: int = 1,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets the
     corpus, the self-join runs WITHIN (table, bucket) only, exact cosine
@@ -218,11 +219,27 @@ def embedding_near_dups(
     (1 − (1−θ/π)^n_planes)^n_tables — the recall lever. E.g. cosine 0.99 /
     8 planes: 0.89 per table, ≥0.999 at 3 tables. Candidate pairs are
     DISTINCT'd across tables before the exact-cosine verify so the verify
-    cost never multiplies by table count."""
+    cost never multiplies by table count.
+
+    ``max_bucket`` is the hot-bucket guard (VERDICT r03 #5): a degenerate
+    corpus (e.g. many identical embeddings) collapses into one bucket whose
+    self-join is quadratic. Buckets larger than the cap are EXCLUDED from
+    candidate generation — audit what a cap would drop with
+    :func:`oversize_buckets` before relying on the output (no silent caps);
+    identical vectors are exact duplicates and belong to the exact-dedup
+    pre-pass, not the LSH path. ``None`` disables the guard."""
     b = _multi_table_buckets(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v", dim, n_planes, seed, n_tables,
     )
+    if max_bucket is not None:
+        sizes = b.groupBy("_tbl", "bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        # bucket list is corpus-proportional — shuffled equi-join, no
+        # broadcast hint (AQE may still promote a genuinely small side)
+        b = b.join(
+            sizes.filter(F.col("_bn") <= max_bucket).select("_tbl", "bucket"),
+            ["_tbl", "bucket"],
+        )
     l = b.select(F.col("_id").alias("id_a"), "_tbl", "bucket")
     r = b.select(F.col("_id").alias("id_b"), "_tbl", "bucket")
     pairs = (
@@ -241,6 +258,31 @@ def embedding_near_dups(
         )
     )
     return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def oversize_buckets(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    n_tables: int = 1,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Audit companion to :func:`embedding_near_dups`'s hot-bucket guard:
+    ``(_tbl, bucket, n)`` for every bucket the cap would exclude. Count (or
+    sink) this frame next to the dedup run so capped coverage is recorded,
+    never silent."""
+    b = _multi_table_buckets(
+        df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
+        "_v", dim, n_planes, seed, n_tables,
+    )
+    return (
+        b.groupBy("_tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_bucket)
+    )
 
 
 def cosine_topk_lsh(
@@ -268,12 +310,21 @@ def cosine_topk_lsh(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
         "_qv", dim, n_planes, seed, n_tables,
     )
-    joined = (
-        cb.join(F.broadcast(qb.select("query_id", "_qv", "_tbl", "bucket")), ["_tbl", "bucket"])
+    # candidate dedup across tables keys on the two IDs ONLY (VERDICT r03
+    # #6-nit): distinct over rows that still carry both d-length vectors
+    # would shuffle and compare full arrays; vectors re-attach afterwards —
+    # broadcast for the query side, shuffled equi-join for the corpus side
+    # (the embedding_near_dups shape)
+    cand = (
+        cb.select("neighbor_id", "_tbl", "bucket")
+        .join(F.broadcast(qb.select("query_id", "_tbl", "bucket")), ["_tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     sim = joined.withColumn(
         "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
     )

@@ -396,3 +396,44 @@ def test_dup_groups_connected_components(spark):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_hot_bucket_guard_simhash_pathological_corpus(spark):
+    """VERDICT r03 #5: a corpus of identical documents collapses every chunk
+    bucket into one degenerate cell. The guard must (a) complete without the
+    quadratic self-join, (b) report the excluded mass via the audit frame,
+    and (c) leave healthy-corpus behavior (cap not reached) unchanged."""
+    from mtsad_spark.operators.dedup import simhash_oversize_buckets
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"), F.lit("same tiny boilerplate text").alias("text")
+    )
+    sigs = simhash(docs, "doc_id", "text")
+    capped = simhash_dup_pairs(sigs, "doc_id", max_hamming=3, max_bucket=100)
+    assert capped.count() == 0  # degenerate buckets excluded, no blow-up
+    audit = simhash_oversize_buckets(sigs, "doc_id", max_hamming=3, max_bucket=100)
+    a = audit.toPandas()
+    assert len(a) == 4 and (a["n"] == 1000).all()  # one oversize cell per chunk
+    # below the cap the full quadratic pair set is still produced
+    small = simhash_dup_pairs(
+        sigs.filter(F.col("doc_id") < 40), "doc_id", max_hamming=3, max_bucket=100
+    )
+    assert small.count() == 40 * 39 // 2
+
+
+def test_hot_bucket_guard_embedding_pathological_corpus(spark):
+    """Same guard for the embedding near-dup self-join: 1000 identical
+    vectors → one (table, bucket) cell."""
+    from mtsad_spark.operators.similarity import embedding_near_dups, oversize_buckets
+
+    vec = F.array(*[F.lit(1.0) for _ in range(8)])
+    emb = spark.range(1000).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    capped = embedding_near_dups(emb, dim=8, threshold=0.9, max_bucket=100)
+    assert capped.count() == 0
+    audit = oversize_buckets(emb, dim=8, max_bucket=100)
+    a = audit.toPandas()
+    assert len(a) == 1 and int(a["n"].iloc[0]) == 1000
+    small = embedding_near_dups(
+        emb.filter(F.col("vec_id") < 30), dim=8, threshold=0.9, max_bucket=100
+    )
+    assert small.count() == 30 * 29 // 2

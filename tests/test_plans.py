@@ -19,6 +19,11 @@ def events(spark):
     return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
 
 
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
 def test_filter_and_projection_pushed_to_scan(events):
     q = events.filter(F.col("value") > 400).select("event_id", "value")
     p = plan_of(q)
@@ -279,3 +284,17 @@ def test_sax_and_ngram_bitmap_are_scale_clean(spark, events):
     _assert_no_bare_key_window_over_raw_rows(bm)
     p = plan_of(bm)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_lsh_candidate_distinct_carries_no_vectors(spark, embeddings):
+    """VERDICT r03 #6: the ANN candidate dedup must key on the two id longs
+    only — a distinct over rows still carrying the d-length arrays shuffles
+    and compares full vectors. Vectors re-attach after the distinct."""
+    from mtsad_spark.operators.similarity import cosine_topk_lsh
+
+    q = embeddings.filter(F.col("vec_id") < 5)
+    out = cosine_topk_lsh(embeddings, q, k=3, dim=64, n_planes=8, n_tables=2)
+    tree = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in tree.splitlines():
+        if "Aggregate [" in line and ("_qv" in line or "_cv" in line):
+            raise AssertionError(f"candidate distinct carries vectors:\n{line}")
