@@ -2913,6 +2913,30 @@ def sink_roundtrip_events(spark, sf_dir):
     )
 
 
+@_q(
+    "seeded_shuffle_events",
+    """
+    WITH ids AS (SELECT event_id FROM events WHERE event_id < 1000),
+         h AS (SELECT event_id,
+                      CAST('0x' || substr(md5('42|' || CAST(event_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS hk
+               FROM ids)
+    SELECT event_id, row_number() OVER (ORDER BY hk, event_id) - 1 AS pos
+    FROM h
+    """,
+)
+def seeded_shuffle_events(spark, sf_dir):
+    """O1 seeded shuffle (splits.seeded_shuffle) in the portable md5 form
+    over a bounded id set, with the shuffle POSITION materialized (an
+    ordering alone is invisible to the driver's order-insensitive compare).
+    Proves the permutation is a pure function of (seed, content) —
+    partitioning-independent and engine-reproducible."""
+    from mtsad_spark.operators.splits import seeded_shuffle
+
+    ids = _t(spark, sf_dir, "events").filter(F.col("event_id") < 1000).select("event_id")
+    return seeded_shuffle(ids, seed=42, hash="md5", pos_col="pos")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -2947,6 +2971,7 @@ _PRIORITY = [
     "bitmap_distance_halves",
     "pipeline_lineage_counts",
     "sink_roundtrip_events",
+    "seeded_shuffle_events",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

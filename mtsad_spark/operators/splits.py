@@ -49,13 +49,42 @@ def stratified_split(
     return fraction_split(df, order_col, frac, keys=[class_col])
 
 
-def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
+def seeded_shuffle(
+    df: DataFrame, seed: int = 42, hash: str = "xxhash64",
+    pos_col: str | None = None,
+) -> DataFrame:
     """O1: deterministic row shuffle — order by a content hash mixed with the
     seed. (``rand(seed)`` is seeded PER PARTITION, so its order would change
     with the input partitioning; a row-content hash is partitioning-
     independent.) Fixture-gen only — the engine itself never reorders rows
-    non-deterministically."""
-    return df.orderBy(F.xxhash64(*df.columns, F.lit(seed)), *df.columns[:1])
+    non-deterministically.
+
+    ``hash='md5'`` swaps the JVM xxhash64 for a 60-bit md5-derived key that
+    any engine can reproduce (the portable-hash move of the md5
+    MinHash/SimHash variants). ``pos_col`` additionally materializes the
+    0-based shuffle position — required whenever the consumer compares SETS
+    of rows (a bare ordering is invisible to order-insensitive checks); the
+    rank is one global window, so keep it to bounded fixture-scale inputs."""
+    if hash == "md5":
+        key = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.lit(str(seed)), *[F.col(c).cast("string") for c in df.columns]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        key = F.xxhash64(*df.columns, F.lit(seed))
+    if pos_col is None:
+        return df.orderBy(key, *df.columns[:1])
+    w = Window.orderBy(key, *df.columns[:1])
+    return df.withColumn(pos_col, F.row_number().over(w) - 1)
 
 
 def dropin_augment(df: DataFrame, factor_max: int = 10, seed: int = 42) -> DataFrame:

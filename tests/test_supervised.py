@@ -161,3 +161,27 @@ def test_dropin_augment_hashed_matches_md5_oracle(spark):
     re = dropin_augment_hashed(base.repartition(7), "id", factor_max=10, seed=42)
     got2 = re.groupBy("id").count().toPandas().set_index("id")["count"].to_dict()
     assert got == got2
+
+
+def test_seeded_shuffle_md5_matches_hashlib_and_partitioning(spark):
+    """O1 portable form: the shuffle position must equal an independent
+    hashlib.md5 ranking and survive any input partitioning."""
+    import hashlib
+
+    from mtsad_spark.operators.splits import seeded_shuffle
+
+    ids = spark.range(200).select(F.col("id").cast("long").alias("id"))
+    got = (
+        seeded_shuffle(ids, seed=42, hash="md5", pos_col="pos")
+        .toPandas().set_index("id")["pos"].to_dict()
+    )
+    keys = {
+        i: int(hashlib.md5(f"42|{i}".encode()).hexdigest()[:15], 16) for i in range(200)
+    }
+    want = {i: p for p, (i, _) in enumerate(sorted(keys.items(), key=lambda kv: (kv[1], kv[0])))}
+    assert got == want
+    got2 = (
+        seeded_shuffle(ids.repartition(7), seed=42, hash="md5", pos_col="pos")
+        .toPandas().set_index("id")["pos"].to_dict()
+    )
+    assert got2 == want
