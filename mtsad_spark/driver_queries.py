@@ -2937,6 +2937,39 @@ def seeded_shuffle_events(spark, sf_dir):
     return seeded_shuffle(ids, seed=42, hash="md5", pos_col="pos")
 
 
+@_q(
+    "session_window_users",
+    """
+    WITH o AS (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events),
+         b AS (SELECT user_id, ts,
+                      CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS nb
+               FROM o),
+         s AS (SELECT user_id, ts,
+                      sum(nb) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+               FROM b)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def session_window_users(spark, sf_dir):
+    """Native ``session_window`` sessionization (streaming/
+    sessionize_stream.sessionize — the same expression drives the
+    Structured-Streaming form), oracled against the classic cumulative-sum-
+    of-boundaries algebra. The boundary predicate is ``ts >= prev + gap``:
+    session_window keeps an event iff strictly before last+gap, so an event
+    at exactly the gap boundary starts a new session. Tie rows (equal ts)
+    are boundary-0 either way, so the tie order cannot shift a session."""
+    from mtsad_spark.streaming.sessionize_stream import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    return sessionize(ev, key_col="user_id", ts_col="ts", gap="30 minutes")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -2972,6 +3005,7 @@ _PRIORITY = [
     "pipeline_lineage_counts",
     "sink_roundtrip_events",
     "seeded_shuffle_events",
+    "session_window_users",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

@@ -90,3 +90,79 @@ def test_stateful_streaming_ewma_matches_batch(spark, tmp_path):
     assert len(got) == len(want) > 0
     assert np.allclose(got["ewma_level"].values, want["ewma_level"].values, rtol=1e-12)
     assert np.allclose(got["resid"].values, want["resid"].values, rtol=1e-12, atol=1e-12)
+
+
+def test_streaming_sessionize_matches_batch_and_classic_algebra(spark, tmp_path):
+    """session_window sessions from an availableNow drain == the same
+    expression in batch == the classic cumulative-sum-of-boundaries algebra
+    (with the matching >= boundary predicate) on crafted multi-session data."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.streaming.sessionize_stream import sessionize, streaming_sessionize
+
+    rows = []
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    for u in range(6):
+        t = base + pd.Timedelta(minutes=7 * u)
+        for s in range(3):  # 3 sessions per user
+            for i in range(4 + (u + s) % 3):  # 4-6 events, minutes apart
+                rows.append((u, t))
+                t += pd.Timedelta(minutes=3 + ((u + i) % 5))
+            t += pd.Timedelta(minutes=45 + s)  # inactivity gap > 30m
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df = spark.createDataFrame(pdf)
+
+    batch = sessionize(df).toPandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert (batch.groupby("user_id").size() == 3).all()
+
+    # classic algebra with the session_window-matching >= boundary
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    bound = F.when(
+        prev.isNull() | (F.col("ts") >= prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classic = (
+        df.withColumn("_b", bound)
+        .withColumn("sid", F.sum("_b").over(cum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("first_ev"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ev"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .toPandas().sort_values(["user_id", "first_ev"]).reset_index(drop=True)
+    )
+    assert (batch["session_start"].values == classic["first_ev"].values).all()
+    assert (batch["session_end"].values == classic["end_ev"].values).all()
+    assert (batch["n_events"].values == classic["n_events"].values).all()
+
+    # streaming drain: append mode emits only watermark-closed sessions;
+    # every emitted session must equal its batch twin
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ck = str(tmp_path / "sess_ck")
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        streaming_sessionize(stream, watermark="1 minute")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas().sort_values(
+        ["user_id", "session_start"]).reset_index(drop=True)
+    assert len(got) > 0
+    merged = batch.merge(
+        got, on=["user_id", "session_start"], suffixes=("_b", "_s")
+    )
+    assert len(merged) == len(got)  # every emitted session exists in batch
+    assert (merged["session_end_b"].values == merged["session_end_s"].values).all()
+    assert (merged["n_events_b"].values == merged["n_events_s"].values).all()
