@@ -2937,6 +2937,61 @@ def seeded_shuffle_events(spark, sf_dir):
     return seeded_shuffle(ids, seed=42, hash="md5", pos_col="pos")
 
 
+def _logprob_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    seq = f"'{SEQFIX_PATH}'"
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(tokens) AS t FROM {seq}),
+         freq AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+         n AS (SELECT count(*) AS total FROM tok),
+         micro AS (SELECT t, CAST(round(ln(CAST(c AS DOUBLE) / total) * 1000000, 0) AS BIGINT) AS lp
+                   FROM freq, n),
+         per_doc AS (SELECT tok.doc_id, sum(micro.lp) AS s, count(*) AS n_tok
+                     FROM tok JOIN micro ON tok.t = micro.t
+                     GROUP BY 1)
+    SELECT doc_id, n_tok,
+           -CAST(s AS DOUBLE) / (1000000.0 * n_tok) AS neg_logprob
+    FROM per_doc
+    """
+
+
+@_q("token_unigram_logprob", _logprob_sql())
+def token_unigram_logprob(spark, sf_dir):
+    """Token-native quality score for data curation: per-document negative
+    mean unigram log-probability under the corpus's own unigram model (the
+    standard cheap perplexity proxy for filtering pre-tokenized training
+    data). Corpus pass 1 = vocab-bounded frequency table (map-side combined);
+    pass 2 joins it back per token — the frequency table is VOCAB-sized, so
+    the join side is broadcastable at any corpus scale.
+
+    Float discipline: per-token ln(c/total) is rounded to integer
+    micro-units BEFORE the per-doc sum, so the aggregation is exact BIGINT
+    (order-independent) and one final division is bitwise cross-engine —
+    the integer-numerator pattern, with the single ln() 1-ulp risk absorbed
+    by the micro rounding on a fixed fixture."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+
+    seq = spark.read.parquet(ensure_seqfix())
+    tok = seq.select("doc_id", F.explode("tokens").alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    micro = freq.crossJoin(F.broadcast(total)).select(
+        "t",
+        F.round(F.log(F.col("c").cast("double") / F.col("total")) * 1_000_000, 0)
+        .cast("long")
+        .alias("lp"),
+    )
+    per_doc = tok.join(F.broadcast(micro), "t").groupBy("doc_id").agg(
+        F.sum("lp").alias("s"), F.count(F.lit(1)).alias("n_tok")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        (-F.col("s").cast("double") / (1_000_000.0 * F.col("n_tok"))).alias("neg_logprob"),
+    )
+
+
 @_q(
     "session_window_users",
     """
@@ -3006,6 +3061,7 @@ _PRIORITY = [
     "sink_roundtrip_events",
     "seeded_shuffle_events",
     "session_window_users",
+    "token_unigram_logprob",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",
