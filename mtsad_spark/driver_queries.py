@@ -2937,6 +2937,47 @@ def seeded_shuffle_events(spark, sf_dir):
     return seeded_shuffle(ids, seed=42, hash="md5", pos_col="pos")
 
 
+def _packing_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH d AS (SELECT source, CAST(substr(doc_id, 5, 10) AS BIGINT) AS doc_idx,
+                      CAST(n_tok AS BIGINT) AS n_tok
+               FROM '{SEQFIX_PATH}'),
+         p AS (SELECT source, doc_idx, n_tok,
+                      sum(n_tok) OVER (PARTITION BY source ORDER BY doc_idx)
+                        - n_tok AS excl
+               FROM d)
+    SELECT source, excl // 8192 AS bin,
+           count(*) AS n_docs, sum(n_tok) AS tok_in_bin
+    FROM p GROUP BY 1, 2
+    """
+
+
+@_q("token_packing_bins", _packing_sql())
+def token_packing_bins(spark, sf_dir):
+    """Training-sequence packing stats: contiguous next-fit packing of the
+    tokenized docs into 8192-token bins per source (operators/prefix.py
+    pack_sequences — keyed prefix sum composed from per-(key, coarse-bucket)
+    partials, no bare-key window over raw rows). The oracle's serial window
+    cumsum is the semantic spec; the engine computes the same totals with
+    bounded sequential work. Integer token counts ⇒ exact cross-engine."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.operators.prefix import pack_sequences
+
+    seq = spark.read.parquet(ensure_seqfix()).select(
+        "source",
+        F.substring("doc_id", 5, 10).cast("long").alias("doc_idx"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+    )
+    packed = pack_sequences(
+        seq, ["source"], "doc_idx", "n_tok", capacity=8192, coarse_width=1024.0
+    )
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("tok_in_bin")
+    )
+
+
 def _logprob_sql() -> str:
     from mtsad_spark.fixture_cache import SEQFIX_PATH
 
@@ -3062,6 +3103,7 @@ _PRIORITY = [
     "seeded_shuffle_events",
     "session_window_users",
     "token_unigram_logprob",
+    "token_packing_bins",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

@@ -1,0 +1,95 @@
+"""Scale-clean keyed prefix sums (distributed scan) + sequence packing.
+
+A running total per key is the textbook serial window
+(``sum(x) OVER (PARTITION BY key ORDER BY t)``) — which funnels every row of
+a hot key through one task, the shape this repo bans over raw rows (see
+``scoring._global_row_numbers``, the prefix-COUNT special case). The general
+prefix-SUM composes the same way: bucket rows by the order value (pure
+expression), aggregate per-(key, bucket) sums (algebraic, map-side combined),
+prefix those per-bucket sums over the tiny bucket frame, and add a
+within-(key, bucket) running sum — the only sequential windows run over
+bucket-count-sized or bucket-local frames, never a whole key.
+
+Packing use-case (training-data prep for the tokenized-sequences shape,
+BASELINE.json input_hint): assigning documents to fixed-capacity training
+bins by cumulative token count is a prefix sum over ``n_tok`` — contiguous
+(next-fit) packing, deterministic under any parallelism given a total
+per-key order. The reference has no packing analog; this is part of the
+beyond-reference LLM-pipeline surface (SURVEY.md §2 addenda).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keyed_prefix_sum(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    coarse_width: float = 3600.0,
+    out_col: str = "prefix_sum",
+) -> DataFrame:
+    """INCLUSIVE running sum of ``val_col`` per key in ``order_col`` order.
+
+    ``order_col`` must be numeric or timestamp and a total order per key
+    (ties make the within-bucket window arrival-order dependent, as with any
+    Spark window). ``coarse_width`` buckets the order domain; per-key
+    sequential work is bounded by rows/coarse_width buckets, not rows.
+    """
+    from .joins import _epoch
+
+    b = df.withColumn(
+        "_cb", F.floor(_epoch(df, order_col) / F.lit(coarse_width)).cast("long")
+    )
+    sums = b.groupBy(*keys, "_cb").agg(F.sum(val_col).alias("_s"))
+    woff = (
+        Window.partitionBy(*keys)
+        .orderBy("_cb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sums.withColumn(
+        "_off", F.coalesce(F.sum("_s").over(woff), F.lit(0).cast("long"))
+    ).drop("_s")
+    wloc = (
+        Window.partitionBy(*keys, "_cb")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        b.join(offsets, [*keys, "_cb"])
+        .withColumn(out_col, F.col("_off") + F.sum(val_col).over(wloc))
+        .drop("_cb", "_off")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    len_col: str,
+    capacity: int,
+    coarse_width: float = 3600.0,
+) -> DataFrame:
+    """Contiguous (next-fit) packing of variable-length sequences into
+    fixed-capacity bins: bin id = floor(exclusive_prefix_len / capacity) per
+    key. Deterministic, one pass, no driver loop; a document longer than
+    ``capacity`` simply spans bins (callers split or drop such rows first —
+    count them, don't silently truncate).
+
+    Returns the input plus ``bin`` (long) and ``bin_offset`` (the sequence's
+    start offset inside its key's token stream). Contiguous packing trades
+    some fill efficiency vs first-fit-decreasing for determinism and
+    scalability (FFD needs a serial pass over all bins).
+    """
+    out = keyed_prefix_sum(
+        df, keys, order_col, len_col, coarse_width, out_col="_incl"
+    )
+    excl = F.col("_incl") - F.col(len_col)
+    return (
+        out.withColumn("bin", F.floor(excl / capacity).cast("long"))
+        .withColumn("bin_offset", excl)
+        .drop("_incl")
+    )

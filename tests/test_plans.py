@@ -298,3 +298,13 @@ def test_lsh_candidate_distinct_carries_no_vectors(spark, embeddings):
     for line in tree.splitlines():
         if "Aggregate [" in line and ("_qv" in line or "_cv" in line):
             raise AssertionError(f"candidate distinct carries vectors:\n{line}")
+
+
+def test_prefix_sum_is_scale_clean(spark, events):
+    """keyed_prefix_sum must compose from per-(key, coarse-bucket) partials —
+    the only per-key sequential window runs over the bucket-sum frame, never
+    the raw rows (same contract as scoring._global_row_numbers)."""
+    from mtsad_spark.operators.prefix import keyed_prefix_sum
+
+    q = keyed_prefix_sum(events, ["event_type"], "ts", "value", coarse_width=3600.0)
+    _assert_no_bare_key_window_over_raw_rows(q)
