@@ -3016,7 +3016,8 @@ def token_unigram_logprob(spark, sf_dir):
     seq = spark.read.parquet(ensure_seqfix())
     tok = seq.select("doc_id", F.explode("tokens").alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    # total derives from the VOCAB-sized freq table, not a third corpus pass
+    total = freq.agg(F.sum("c").alias("total"))
     micro = freq.crossJoin(F.broadcast(total)).select(
         "t",
         F.round(F.log(F.col("c").cast("double") / F.col("total")) * 1_000_000, 0)

@@ -102,3 +102,34 @@ def test_manifest_guard_works_on_scheme_qualified_paths(spark, tmp_path):
     RollupPipeline(spark, base, zscore_w=8).run(seq)
     with pytest.raises(ValueError, match="different parameters"):
         RollupPipeline(spark, base, zscore_w=9).run(seq)
+
+
+def test_checkpoint_partition_pruning(spark, tmp_path):
+    """TableProvider writes stage outputs partitioned by the rollup keys; a
+    key-filtered read must prune partitions at the scan (PartitionFilters
+    carries the predicate, PartitionCount < total) — the property that makes
+    per-source backfills touch 1/N of a 100 TB checkpoint."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.sources.tables import TableProvider
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["web", "books", "code", "wiki"] * 25,
+            "bucket_ts": pd.date_range("2024-01-01", periods=100, freq="1min"),
+            "mean": range(100),
+        }
+    )
+    tp = TableProvider(spark, str(tmp_path))
+    tp.write(spark.createDataFrame(pdf), "part_stage", partition_by=["source"])
+    q = tp.read("part_stage").filter(F.col("source") == "web")
+    p = q._sc._jvm.PythonSQLUtils.explainString(q._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in p and "isnotnull(source" in p
+    import re
+
+    m = re.search(r"Partition\w* ?[Cc]ount: (\d+)", p)
+    # 1 of 4 hive-style partition dirs survives the filter
+    assert q.count() == 25
+    if m:
+        assert int(m.group(1)) == 1
