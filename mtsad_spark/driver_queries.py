@@ -2937,6 +2937,41 @@ def seeded_shuffle_events(spark, sf_dir):
     return seeded_shuffle(ids, seed=42, hash="md5", pos_col="pos")
 
 
+@_q(
+    "rolling_minmax_channel_1h",
+    _hourly_cte()
+    + """
+    SELECT event_type, bucket_ts,
+           min(avg_v) OVER w AS roll_min,
+           max(avg_v) OVER w AS roll_max,
+           CASE WHEN max(avg_v) OVER w > min(avg_v) OVER w
+                THEN round((avg_v - min(avg_v) OVER w)
+                           / (max(avg_v) OVER w - min(avg_v) OVER w), 6)
+                ELSE 0.5 END AS channel_pos
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_minmax_channel_1h(spark, sf_dir):
+    """Trailing 24h rolling min/max envelope + channel position (stats.
+    sliding_extrema; the O(n) van Herk chunked form is golden-tested equal —
+    min/max are non-invertible, so the JVM frame pays O(w)/row and the
+    chunked kernel is the large-w scale path, PAPERS.md ICDE'25 line).
+    channel_pos is the only float-derived column → rounded both sides."""
+    from mtsad_spark.operators.stats import sliding_extrema
+
+    hourly = _hourly_df(spark, sf_dir)
+    out = sliding_extrema(hourly, ["event_type"], "bucket_ts", "avg_v", w=24)
+    span = F.col("roll_max") - F.col("roll_min")
+    pos = F.when(
+        span > 0, F.round((F.col("avg_v") - F.col("roll_min")) / span, 6)
+    ).otherwise(0.5)
+    return out.select(
+        "event_type", "bucket_ts", "roll_min", "roll_max", pos.alias("channel_pos")
+    )
+
+
 def _packing_sql() -> str:
     from mtsad_spark.fixture_cache import SEQFIX_PATH
 
@@ -3105,6 +3140,7 @@ _PRIORITY = [
     "session_window_users",
     "token_unigram_logprob",
     "token_packing_bins",
+    "rolling_minmax_channel_1h",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

@@ -131,3 +131,39 @@ def test_gaussian_density_oracle(spark):
 
     want = dens(got["x"].values, mu_x, var_x) * dens(got["y"].values, mu_y, var_y)
     assert np.allclose(got["density"].values, want, rtol=1e-10)
+
+
+@pytest.mark.parametrize("w,rps", [(1, 40), (5, 40), (24, 64), (24, 23), (7, 1000)])
+def test_sliding_extrema_chunked_matches_jvm_and_pandas(spark, w, rps):
+    """van Herk/Gil-Werman O(n) chunked rolling min/max == JVM window frame
+    == pandas rolling, across non-dividing widths and slice sizes (multi-
+    slice + halo paths included)."""
+    import numpy as np
+    import pandas as pd
+
+    from mtsad_spark.operators.stats import sliding_extrema, sliding_extrema_chunked
+
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 300 + ["b"] * 157,
+            "t": list(range(300)) + list(range(157)),
+            "v": np.round(rng.randn(457) * 10, 3),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    jvm = (
+        sliding_extrema(df, ["k"], "t", "v", w)
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    chk = (
+        sliding_extrema_chunked(df, ["k"], "t", "v", w, rows_per_slice=rps)
+        .toPandas().sort_values(["k", "t"]).reset_index(drop=True)
+    )
+    want = pdf.sort_values(["k", "t"]).reset_index(drop=True)
+    g = want.groupby("k")["v"]
+    want["roll_min"] = g.rolling(w, min_periods=1).min().values
+    want["roll_max"] = g.rolling(w, min_periods=1).max().values
+    for col in ("roll_min", "roll_max"):
+        assert (jvm[col].values == want[col].values).all(), (w, rps, col, "jvm")
+        assert (chk[col].values == want[col].values).all(), (w, rps, col, "chunked")
