@@ -49,7 +49,26 @@ class TableProvider:
             return self.spark.catalog.tableExists(f"{self.catalog}.{name}")
         return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
 
-    def write(self, df: DataFrame, name: str, partition_by: list[str] | None = None, mode: str = "overwrite") -> None:
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        mode: str = "overwrite",
+        cluster_by: list[str] | None = None,
+    ) -> None:
+        """``cluster_by`` range-clusters the data before writing
+        (repartitionByRange + sortWithinPartitions): every output file then
+        covers a narrow, near-disjoint range of the cluster columns, so the
+        parquet min/max statistics (or Iceberg's file-level metrics) let a
+        value-range predicate skip whole files/row groups at the scan — the
+        second pruning axis next to hive/hidden partitioning, and the one
+        that works for high-cardinality columns partitioning can't hold.
+        (Iceberg's SORTED BY table order expresses the same intent
+        declaratively; the explicit pre-sort keeps parity on the parquet
+        backend.)"""
+        if cluster_by:
+            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
         if self.catalog:
             w = df.writeTo(f"{self.catalog}.{name}")
             if partition_by:

@@ -133,3 +133,40 @@ def test_checkpoint_partition_pruning(spark, tmp_path):
     assert q.count() == 25
     if m:
         assert int(m.group(1)) == 1
+
+
+def test_cluster_by_write_yields_prunable_file_stats(spark, tmp_path):
+    """TableProvider.write(cluster_by=...) must range-cluster: each parquet
+    file's min/max footer interval for the cluster column is near-disjoint
+    from the others, which is what lets min/max statistics skip files for a
+    value-range predicate at 100 TB (high-cardinality pruning axis)."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mtsad_spark.sources.tables import TableProvider
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"id": np.arange(40_000), "value": rng.rand(40_000) * 1000})
+    tp = TableProvider(spark, str(tmp_path))
+    tp.write(spark.createDataFrame(pdf).repartition(8), "clustered", cluster_by=["value"])
+
+    spans = []
+    for f in glob.glob(str(tmp_path / "clustered" / "*.parquet")):
+        md = pq.read_metadata(f)
+        col = md.schema.to_arrow_schema().get_field_index("value")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+    assert len(spans) > 1  # clustering actually produced multiple range files
+    spans.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(spans, spans[1:]):
+        assert lo_b >= hi_a - 1e-9  # near-disjoint file intervals
+    # and each file covers a narrow slice of the global range
+    widths = [hi - lo for lo, hi in spans]
+    assert max(widths) < 1000 / len(spans) * 3

@@ -166,3 +166,43 @@ def test_streaming_sessionize_matches_batch_and_classic_algebra(spark, tmp_path)
     assert len(merged) == len(got)  # every emitted session exists in batch
     assert (merged["session_end_b"].values == merged["session_end_s"].values).all()
     assert (merged["n_events_b"].values == merged["n_events_s"].values).all()
+
+
+def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup: an availableNow drain over a
+    corpus with planted duplicates keeps exactly one row per content hash
+    (all dups inside the watermark window), matching batch drop_exact_dups
+    cardinality per hash."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.streaming.dedup_stream import streaming_drop_exact_dups
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(300):
+        text = f"document body {i % 100}"  # 100 distinct texts, 3 copies each
+        rows.append((i, text, base + pd.Timedelta(seconds=13 * i)))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ingest_ts"])
+    src = str(tmp_path / "dd_src")
+    out = str(tmp_path / "dd_out")
+    ck = str(tmp_path / "dd_ck")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, ingest_ts TIMESTAMP"
+    ).parquet(src)
+    q = (
+        streaming_drop_exact_dups(stream, "text", "ingest_ts", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) == 100  # one survivor per distinct text
+    assert got["content_hash"].nunique() == 100
+    assert set(got["text"]) == set(pdf["text"])
