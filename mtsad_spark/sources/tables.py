@@ -86,3 +86,52 @@ class TableProvider:
         if self.catalog:
             return self.spark.read.table(f"{self.catalog}.{name}")
         return self.spark.read.parquet(self.path(name))
+
+    def drop_partitions_before(
+        self, name: str, partition_col: str, cutoff: str
+    ) -> dict[str, list[str]]:
+        """Retention enforcement for a time-partitioned tier table: drop every
+        ``partition_col=<value>`` partition with value < ``cutoff``
+        (lexicographic compare — ISO dates/hours sort correctly by design).
+
+        100-TB shape: retention is PARTITION METADATA work, never a row-level
+        rewrite — on Iceberg a ``DELETE WHERE`` on the partition column
+        (which its metadata resolves to whole-file drops), on the parquet
+        backend a recursive delete of the hive partition directories through
+        the Hadoop FS API (so it works on hdfs://, s3a://, file:// alike).
+        Returns {"dropped": [...], "kept": [...]} partition values so callers
+        can record what expired (no silent deletes). Raises if the table has
+        no such partition layout — retention against a non-partitioned table
+        would otherwise silently do nothing."""
+        if self.catalog:
+            self.spark.sql(
+                f"DELETE FROM {self.catalog}.{name} "
+                f"WHERE {partition_col} < '{cutoff}'"
+            )
+            return {"dropped": [f"< {cutoff} (iceberg metadata delete)"], "kept": []}
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path(name))
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        prefix = f"{partition_col}="
+        dropped, kept = [], []
+        found_layout = False
+        for st in fs.listStatus(root):
+            if not st.isDirectory():
+                continue
+            dirname = st.getPath().getName()
+            if not dirname.startswith(prefix):
+                continue
+            found_layout = True
+            value = dirname[len(prefix):]
+            if value < cutoff:
+                fs.delete(st.getPath(), True)
+                dropped.append(value)
+            else:
+                kept.append(value)
+        if not found_layout:
+            raise ValueError(
+                f"table {name!r} has no {partition_col}= partition directories; "
+                "retention needs a time-partitioned layout "
+                "(write(..., partition_by=[...]))"
+            )
+        return {"dropped": sorted(dropped), "kept": sorted(kept)}

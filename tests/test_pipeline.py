@@ -170,3 +170,44 @@ def test_cluster_by_write_yields_prunable_file_stats(spark, tmp_path):
     # and each file covers a narrow slice of the global range
     widths = [hi - lo for lo, hi in spans]
     assert max(widths) < 1000 / len(spans) * 3
+
+
+def test_retention_drops_old_day_partitions(spark, tmp_path):
+    """Tier retention (the 'retention' in rollup+downsample+retention): drop
+    whole day partitions below the cutoff through the FS API — metadata-only
+    work, no row rewrite — and refuse a non-partitioned layout loudly."""
+    import pandas as pd
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.sources.tables import TableProvider
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["web", "code"] * 200,
+            "bucket_ts": list(pd.date_range("2024-01-01", periods=400, freq="17min")),
+            "mean": range(400),
+        }
+    )
+    tp = TableProvider(spark, str(tmp_path))
+    df = spark.createDataFrame(pdf).withColumn(
+        "day", F.date_format("bucket_ts", "yyyy-MM-dd")
+    )
+    tp.write(df, "rollup_1m", partition_by=["day"])
+    before = tp.read("rollup_1m")
+    n_days = before.select("day").distinct().count()
+    assert n_days == 5
+
+    res = tp.drop_partitions_before("rollup_1m", "day", "2024-01-03")
+    assert res["dropped"] == ["2024-01-01", "2024-01-02"]
+    assert res["kept"] == ["2024-01-03", "2024-01-04", "2024-01-05"]
+    after = tp.read("rollup_1m")
+    # partition values come back type-inferred (DATE) — compare as ISO strings
+    days = sorted(str(r["day"]) for r in after.select("day").distinct().collect())
+    assert days == ["2024-01-03", "2024-01-04", "2024-01-05"]
+    # rows inside retained partitions are untouched
+    assert after.count() == before.filter(F.col("day").cast("string") >= "2024-01-03").count()
+
+    tp.write(df.drop("day"), "flat")
+    with _pytest.raises(ValueError, match="partition"):
+        tp.drop_partitions_before("flat", "day", "2024-01-03")
