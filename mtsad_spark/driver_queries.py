@@ -2972,6 +2972,32 @@ def rolling_minmax_channel_1h(spark, sf_dir):
     )
 
 
+@_q(
+    "m4_downsample_1h",
+    _hourly_cte()
+    + """
+    SELECT event_type,
+           floor(epoch(bucket_ts) / 21600) * 21600.0 AS bucket_start,
+           count(*) AS n,
+           min(avg_v) AS v_min, max(avg_v) AS v_max,
+           arg_min(avg_v, bucket_ts) AS v_first,
+           arg_max(avg_v, bucket_ts) AS v_last,
+           min(bucket_ts) AS t_first, max(bucket_ts) AS t_last
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def m4_downsample_1h(spark, sf_dir):
+    """M4 error-free chart downsample (operators/downsample.py, VLDB'14):
+    the hourly series reduced to 4 extremal points per 6h bucket — algebraic
+    min/max/min_by/max_by aggregation, the scalable alternative to
+    sequential LTTB. Hourly bucket_ts is unique per key, so first/last picks
+    are deterministic; all values carry stored doubles (no rounding)."""
+    from mtsad_spark.operators.downsample import m4_downsample
+
+    hourly = _hourly_df(spark, sf_dir)
+    return m4_downsample(hourly, ["event_type"], "bucket_ts", "avg_v", 21600.0)
+
+
 def _packing_sql() -> str:
     from mtsad_spark.fixture_cache import SEQFIX_PATH
 
@@ -3141,6 +3167,7 @@ _PRIORITY = [
     "token_unigram_logprob",
     "token_packing_bins",
     "rolling_minmax_channel_1h",
+    "m4_downsample_1h",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

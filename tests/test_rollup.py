@@ -117,3 +117,38 @@ def test_distinct_rollup_tiers_hll_composition(spark):
     composed = tiers["1d"].toPandas().set_index(["event_type", "bucket_ts"])
     j = composed.join(direct)
     assert (j["distinct_est"] == j["e"]).all()
+
+
+def test_m4_downsample_matches_pandas(spark):
+    """M4 per-bucket (min, max, first, last) == independent pandas groupby
+    on unique-ordered data (VLDB'14 M4 semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from mtsad_spark.operators.downsample import m4_downsample
+
+    rng = np.random.RandomState(5)
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 500 + ["b"] * 300,
+            "t": np.r_[np.arange(500), np.arange(300)] * 7.0,
+            "v": np.round(rng.randn(800) * 20, 3),
+        }
+    )
+    got = (
+        m4_downsample(spark.createDataFrame(pdf), ["k"], "t", "v", 100.0)
+        .toPandas().sort_values(["k", "bucket_start"]).reset_index(drop=True)
+    )
+    pdf["bk"] = (pdf["t"] // 100.0) * 100.0
+    g = pdf.sort_values(["k", "t"]).groupby(["k", "bk"])
+    want = g.agg(
+        n=("v", "size"), v_min=("v", "min"), v_max=("v", "max"),
+        v_first=("v", "first"), v_last=("v", "last"),
+        t_first=("t", "min"), t_last=("t", "max"),
+    ).reset_index().sort_values(["k", "bk"]).reset_index(drop=True)
+    for c_got, c_want in [
+        ("n", "n"), ("v_min", "v_min"), ("v_max", "v_max"),
+        ("v_first", "v_first"), ("v_last", "v_last"),
+        ("t_first", "t_first"), ("t_last", "t_last"), ("bucket_start", "bk"),
+    ]:
+        assert (got[c_got].values == want[c_want].values).all(), c_got
