@@ -2973,6 +2973,51 @@ def rolling_minmax_channel_1h(spark, sf_dir):
 
 
 @_q(
+    "quantile_rollup_1d_kll",
+    """
+    SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS n_rows,
+           round(quantile_cont(value, 0.5), 6) AS p50_exact,
+           round(quantile_cont(value, 0.95), 6) AS p95_exact,
+           TRUE AS est_ok
+    FROM events GROUP BY 1, 2
+    """,
+)
+def quantile_rollup_1d_kll(spark, sf_dir):
+    """Mergeable QUANTILE tiers (rollup.quantile_rollup_tiers, KLL partials
+    composed 1m→1h→1d). KLL compaction is randomized/unseeded, so the
+    estimate itself can never be hash-compared (unlike HLL, which is
+    deterministic); the driver checks the deterministic half — composed
+    n_rows and exact percentiles — plus ``est_ok``: the TRUE within-bucket
+    rank of each tier estimate must sit within 10% + 1/n of its target
+    (k=200 rank error is 1.65%, so the margin is ~6σ plus the small-bucket
+    discreteness term; below k items the sketch is exact by construction)."""
+    from mtsad_spark.operators.rollup import quantile_rollup_tiers
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts", "value")
+    d1 = quantile_rollup_tiers(
+        ev, "ts", "value", ["event_type"], quantiles=[0.5, 0.95]
+    )["1d"]
+    raw = ev.withColumn("bucket_ts", F.date_trunc("day", "ts"))
+    j = raw.join(d1, ["event_type", "bucket_ts"])
+    ranks = j.groupBy("event_type", "bucket_ts").agg(
+        (F.sum((F.col("value") <= F.col("q_0_5")).cast("long")) / F.count(F.lit(1))).alias("_r50"),
+        (F.sum((F.col("value") <= F.col("q_0_95")).cast("long")) / F.count(F.lit(1))).alias("_r95"),
+        F.first("n_rows").alias("n_rows"),
+        F.percentile("value", F.lit(0.5)).alias("_p50"),
+        F.percentile("value", F.lit(0.95)).alias("_p95"),
+    )
+    tol = 0.10 + 1.0 / F.col("n_rows")
+    return ranks.select(
+        "event_type", "bucket_ts", "n_rows",
+        F.round("_p50", 6).alias("p50_exact"),
+        F.round("_p95", 6).alias("p95_exact"),
+        (
+            (F.abs(F.col("_r50") - 0.5) <= tol) & (F.abs(F.col("_r95") - 0.95) <= tol)
+        ).alias("est_ok"),
+    )
+
+
+@_q(
     "m4_downsample_1h",
     _hourly_cte()
     + """
@@ -3168,6 +3213,7 @@ _PRIORITY = [
     "token_packing_bins",
     "rolling_minmax_channel_1h",
     "m4_downsample_1h",
+    "quantile_rollup_1d_kll",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

@@ -228,3 +228,59 @@ def rollup_tiers(
     for t in tiers:
         finalized[t] = finalize(partials[t], keys, t)
     return finalized, partials
+
+
+def quantile_rollup_tiers(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    quantiles: list[float] | None = None,
+    tiers: list[str] | None = None,
+    k: int = 200,
+) -> dict[str, DataFrame]:
+    """Composable QUANTILE tiers via Datasketches KLL partials
+    (``kll_sketch_agg_double`` / ``kll_merge_agg_double``) — the
+    order-statistics cousin of :func:`distinct_rollup_tiers`.
+
+    Percentiles are not algebraic (exact tier composition would need every
+    value per bucket); the KLL sketch is a MERGEABLE partial state with a
+    proven rank-error bound (~1.65% at k=200), so the 1m tier sketches raw
+    data once and 1h/1d merge sketches, exactly like the numeric cascade.
+
+    Unlike HLL, KLL compaction is RANDOMIZED and Spark's implementation is
+    unseeded: estimates vary run-to-run and with partitioning (within the
+    rank bound). Anything consuming these tiers must treat the estimate as
+    a bounded-error value, never a reproducible one — the pytest suite
+    checks the rank bound, not equality, and the driver query oracles only
+    the deterministic columns plus a wide-margin bound boolean.
+
+    Returns {tier: (keys..., tier, bucket_ts, n_rows, q_<pct>...)}.
+    """
+    quantiles = quantiles or [0.5, 0.95, 0.99]
+    tiers = tiers or TIER_ORDER
+    base = tiers[0]
+    sk: dict[str, DataFrame] = {}
+    sk[base] = df.groupBy(*keys, bucket_expr(ts_col, base).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.kll_sketch_agg_double(F.col(val_col).cast("double"), F.lit(k)).alias("_kll"),
+    )
+    for prev, cur in zip(tiers, tiers[1:]):
+        sk[cur] = sk[prev].groupBy(
+            *keys, bucket_expr("bucket_ts", cur).alias("bucket_ts")
+        ).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.kll_merge_agg_double(F.col("_kll")).alias("_kll"),
+        )
+    def _final(s: DataFrame, t: str) -> DataFrame:
+        out = s.select(
+            *keys, F.lit(t).alias("tier"), "bucket_ts", "n_rows",
+            *[
+                F.kll_sketch_get_quantile_double("_kll", F.lit(q)).alias(
+                    f"q_{str(q).replace('.', '_')}"
+                )
+                for q in quantiles
+            ],
+        )
+        return out
+    return {t: _final(s, t) for t, s in sk.items()}

@@ -152,3 +152,35 @@ def test_m4_downsample_matches_pandas(spark):
         ("t_first", "t_first"), ("t_last", "t_last"), ("bucket_start", "bk"),
     ]:
         assert (got[c_got].values == want[c_want].values).all(), c_got
+
+
+def test_quantile_rollup_tiers_kll_rank_bounds(spark, seq_df):
+    """KLL quantile tiers: every tier's estimate must be a value whose TRUE
+    rank within its bucket sits inside the sketch's rank-error bound
+    (generous 3x margin — KLL is randomized, so equality tests are wrong by
+    design); composed 1d buckets carry exact n_rows."""
+    import numpy as np
+
+    from mtsad_spark.operators.rollup import quantile_rollup_tiers
+
+    tiers = quantile_rollup_tiers(
+        seq_df, "ingest_ts", "n_tok", ["source"], quantiles=[0.5, 0.95]
+    )
+    d1 = tiers["1d"].toPandas()
+    pdf = seq_df.toPandas()
+    pdf["bucket"] = pdf["ingest_ts"].dt.floor("d")
+    assert (
+        d1.set_index(["source", "bucket_ts"])["n_rows"].sort_index().values
+        == pdf.groupby(["source", "bucket"]).size().sort_index().values
+    ).all()
+    eps = 3 * 1.65 / np.sqrt(1)  # percent; k=200 bound with 3x margin
+    for _, row in d1.iterrows():
+        vals = pdf[(pdf["source"] == row["source"])]["n_tok"].to_numpy()
+        for q, col in [(0.5, "q_0_5"), (0.95, "q_0_95")]:
+            vals_b = pdf[
+                (pdf["source"] == row["source"]) & (pdf["bucket"] == row["bucket_ts"])
+            ]["n_tok"].to_numpy()
+            rank = (vals_b <= row[col]).mean()
+            assert abs(rank - q) <= eps / 100.0 + 1.0 / max(len(vals_b), 1), (
+                row["source"], q, rank
+            )
