@@ -2973,6 +2973,59 @@ def rolling_minmax_channel_1h(spark, sf_dir):
 
 
 @_q(
+    "returning_users_1d",
+    """
+    WITH d AS (SELECT DISTINCT event_type, date_trunc('day', ts) AS bucket_ts, user_id
+               FROM events)
+    SELECT a.event_type, a.bucket_ts,
+           count(DISTINCT a.user_id) AS n_today,
+           count(DISTINCT CASE WHEN b.user_id IS NOT NULL THEN a.user_id END) AS n_returning,
+           TRUE AS est_ok
+    FROM d a
+    LEFT JOIN d b ON b.event_type = a.event_type AND b.user_id = a.user_id
+                 AND b.bucket_ts = a.bucket_ts - INTERVAL 1 DAY
+    WHERE a.bucket_ts > (SELECT min(bucket_ts) FROM d)
+    GROUP BY 1, 2
+    """,
+)
+def returning_users_1d(spark, sf_dir):
+    """Day-over-day returning users via Theta-sketch set intersection
+    (rollup.distinct_overlap_1d) — the set-operation tier HLL cannot express.
+    Spark's Theta sketches are deterministic and partition-invariant
+    (probed), but the estimate is still engine-specific, so the driver
+    checks exact n_today / n_returning plus ``est_ok``: both sketch
+    estimates within 5% + 1 of the exact counts (exact below the sketch's
+    nominal entries, which covers every sandbox scale factor)."""
+    from mtsad_spark.operators.rollup import distinct_overlap_1d
+
+    ev = _t(spark, sf_dir, "events")
+    est = distinct_overlap_1d(ev, "ts", "user_id", ["event_type"])
+    day = F.date_trunc("day", "ts")
+    d = ev.select("event_type", day.alias("bucket_ts"), "user_id").distinct()
+    prev = d.select(
+        "event_type",
+        F.date_add("bucket_ts", 1).cast("timestamp").alias("bucket_ts"),
+        "user_id",
+    )
+    exact = (
+        d.join(prev.withColumn("_ret", F.lit(1)), ["event_type", "bucket_ts", "user_id"], "left")
+        .groupBy("event_type", "bucket_ts")
+        .agg(
+            F.count_distinct("user_id").alias("n_today"),
+            F.count_distinct(F.when(F.col("_ret") == 1, F.col("user_id"))).alias("n_returning"),
+        )
+    )
+    out = est.join(exact, ["event_type", "bucket_ts"])
+    ok = (
+        F.abs(F.col("n_today_est") - F.col("n_today")) <= 0.05 * F.col("n_today") + 1
+    ) & (
+        F.abs(F.col("returning_est") - F.col("n_returning"))
+        <= 0.05 * F.col("n_returning") + 1
+    )
+    return out.select("event_type", "bucket_ts", "n_today", "n_returning", ok.alias("est_ok"))
+
+
+@_q(
     "quantile_rollup_1d_kll",
     """
     SELECT event_type, date_trunc('day', ts) AS bucket_ts, count(*) AS n_rows,
@@ -3214,6 +3267,7 @@ _PRIORITY = [
     "rolling_minmax_channel_1h",
     "m4_downsample_1h",
     "quantile_rollup_1d_kll",
+    "returning_users_1d",
     # (b) operators rewritten this round (znorm fit/apply; grid positions
     # row-parallel; similarity/dedup scale fixes) — re-attest their queries
     "znorm_events",

@@ -284,3 +284,45 @@ def quantile_rollup_tiers(
         )
         return out
     return {t: _final(s, t) for t, s in sk.items()}
+
+
+def distinct_overlap_1d(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    keys: list[str],
+) -> DataFrame:
+    """Day-over-day distinct-set overlap (returning users / churn) via Theta
+    sketch partials — the SET-OPERATION tier op HLL cannot do: Theta sketches
+    support intersection/difference, not just union, and Spark's
+    implementation is deterministic and partition-invariant (probed — unlike
+    the randomized KLL).
+
+    Per (keys, day): sketch of ids; consecutive days join on an exact
+    date_add key; ``returning_est`` = |today ∩ yesterday| estimate,
+    ``union_est`` = |today ∪ yesterday| estimate (→ day-over-day Jaccard).
+    At 100 TB the sketches are the ONLY thing crossing days — no raw id sets
+    move; below the sketch's nominal entries the estimates are exact.
+
+    Returns (keys..., bucket_ts, n_today_est, returning_est, union_est).
+    """
+    sk = df.groupBy(*keys, bucket_expr(ts_col, "1d").alias("bucket_ts")).agg(
+        F.theta_sketch_agg(F.col(id_col)).alias("_th")
+    )
+    prev = sk.select(
+        *keys,
+        F.date_add(F.col("bucket_ts"), 1).cast("timestamp").alias("bucket_ts"),
+        F.col("_th").alias("_th_prev"),
+    )
+    j = sk.join(prev, [*keys, "bucket_ts"], "inner")
+    return j.select(
+        *keys,
+        "bucket_ts",
+        F.theta_sketch_estimate("_th").cast("long").alias("n_today_est"),
+        F.theta_sketch_estimate(F.theta_intersection("_th", "_th_prev"))
+        .cast("long")
+        .alias("returning_est"),
+        F.theta_sketch_estimate(F.theta_union("_th", "_th_prev"))
+        .cast("long")
+        .alias("union_est"),
+    )

@@ -184,3 +184,28 @@ def test_quantile_rollup_tiers_kll_rank_bounds(spark, seq_df):
             assert abs(rank - q) <= eps / 100.0 + 1.0 / max(len(vals_b), 1), (
                 row["source"], q, rank
             )
+
+
+def test_distinct_overlap_1d_exact_below_nominal_entries(spark):
+    """Theta-sketch day-over-day overlap: below the sketch's nominal entry
+    count the estimates are exact — compare against a pandas set
+    intersection/union per consecutive-day pair (events spans ~150 days)."""
+    import pandas as pd
+
+    from mtsad_spark.operators.rollup import distinct_overlap_1d
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = (
+        distinct_overlap_1d(ev, "ts", "user_id", ["event_type"])
+        .toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    )
+    pdf = ev.select("event_type", "ts", "user_id").toPandas()
+    pdf["day"] = pdf["ts"].dt.floor("d")
+    sets = pdf.groupby(["event_type", "day"])["user_id"].agg(set).to_dict()
+    assert len(got) > 50
+    for _, r in got.iterrows():
+        today = sets[(r["event_type"], r["bucket_ts"])]
+        prev = sets[(r["event_type"], r["bucket_ts"] - pd.Timedelta(days=1))]
+        assert r["n_today_est"] == len(today)
+        assert r["returning_est"] == len(today & prev)
+        assert r["union_est"] == len(today | prev)
