@@ -25,7 +25,19 @@ _REG: dict[str, tuple[QueryFn, str | None]] = {}
 
 def _q(name: str, sql: str | None):
     def deco(fn: QueryFn):
-        _REG[name] = (fn, sql)
+        import functools
+
+        from mtsad_spark.plans.scope import release_scoped
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # query boundary: drop the previous query's operator-scoped
+            # persists so a sequential multi-query run never accumulates
+            # blocks (plans/scope.py; VERDICT r04 #3)
+            release_scoped()
+            return fn(spark, sf_dir)
+
+        _REG[name] = (wrapped, sql)
         return fn
 
     return deco
@@ -39,15 +51,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, respread: bool = True) -> DataFrame:
     """documents scan, re-spread when the file layout yields fewer splits
     than the session's parallelism. The sandbox corpus is ONE sub-16m parquet
     file → a 1-task scan, which serializes every per-doc string kernel
     (lowercase, regex split, shingling, hashing) through one core — measured
     3.2× on the minhash pipeline at sf0.1. The repartition only fires when
     splits < cores; a real 100 TB corpus has thousands of splits and never
-    pays the shuffle."""
+    pays the shuffle.
+
+    ``respread=False`` for single-pass consumers (exact dedup: one md5 per
+    doc then a hash-groupBy that shuffles anyway) — the repartition tripled
+    dedup_exact_docs in the r4 driver bench (VERDICT r04 "wrong" #2) while
+    buying nothing: the groupBy's own exchange already spreads the hashes."""
     df = _t(spark, sf_dir, "documents")
+    if not respread:
+        return df
     want = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
         df = df.repartition(want)
@@ -889,7 +908,7 @@ def props_json_extract(spark, sf_dir):
 def dedup_exact_docs(spark, sf_dir):
     from mtsad_spark.operators.dedup import exact_dedup
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, respread=False)
     return exact_dedup(docs, "doc_id", "text")
 
 
@@ -908,7 +927,7 @@ def drop_exact_dups_docs(spark, sf_dir):
     the drop_exact_dups operator end-to-end, not just the group table."""
     from mtsad_spark.operators.dedup import drop_exact_dups
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, respread=False)
     return drop_exact_dups(docs, "doc_id", "text").select("doc_id", "source", "n_chars")
 
 
@@ -1121,7 +1140,9 @@ def minhash_md5_band_pairs(spark, sf_dir):
 
     # 8 consumers (4 bands x 2 join sides): persist or the shingle explode +
     # md5 + 16-min groupBy lineage re-executes per consumer (CLAUDE.md rule)
-    sigs = _minhash_md5_sigs(spark, sf_dir).persist()
+    from mtsad_spark.plans.scope import scoped_persist
+
+    sigs = scoped_persist(_minhash_md5_sigs(spark, sf_dir))
     pairs = None
     for band in range(4):
         cols = [f"mh_{band * 4 + j}" for j in range(4)]
@@ -1160,7 +1181,9 @@ def _jaccard_pairs_df(spark, sf_dir):
     from mtsad_spark.operators.dedup import jaccard_pairs, word_shingles
 
     docs = _docs(spark, sf_dir)
-    sh = word_shingles(docs, "doc_id", "text", k=3).persist()
+    from mtsad_spark.plans.scope import scoped_persist
+
+    sh = scoped_persist(word_shingles(docs, "doc_id", "text", k=3))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
     pairs = (
@@ -2319,22 +2342,67 @@ def mat_scan_matrix(spark, sf_dir):
     return read_mat_matrix(spark, mat_path, "X")
 
 
-@_q("ensemble_stacking_1h", None)
+@_q(
+    "ensemble_stacking_1h",
+    _hourly_cte()
+    + """
+    , z AS (SELECT event_type, bucket_ts, avg_v,
+                   round(coalesce(CASE WHEN cnt_w >= 24 AND sd > 0
+                                       THEN abs(avg_v - mu) / sd END, 0.0), 6) AS mf_z
+            FROM (SELECT *, count(avg_v) OVER w AS cnt_w, avg(avg_v) OVER w AS mu,
+                         stddev_samp(avg_v) OVER w AS sd
+                  FROM hourly
+                  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))),
+    r AS (SELECT event_type, bucket_ts, avg_v,
+                 row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS rn
+          FROM hourly),
+    lvl AS (SELECT a.event_type, a.bucket_ts, a.avg_v, a.rn,
+                   sum(CASE WHEN b.rn = 0 THEN power(0.8, a.rn) * b.avg_v
+                            ELSE 0.2 * power(0.8, a.rn - b.rn) * b.avg_v END) AS ewma_level
+            FROM r a JOIN r b ON a.event_type = b.event_type AND b.rn <= a.rn
+            GROUP BY 1, 2, 3, 4),
+    e AS (SELECT event_type, bucket_ts,
+                 round(coalesce(abs(avg_v - lag(ewma_level) OVER (
+                     PARTITION BY event_type ORDER BY bucket_ts)), 0.0), 6) AS mf_e
+          FROM lvl),
+    g AS (SELECT event_type, quantile_cont(avg_v, 0.9) AS p90
+          FROM hourly GROUP BY 1),
+    m AS (SELECT z.event_type, z.bucket_ts, z.mf_z, e.mf_e,
+                 CASE WHEN z.avg_v > g.p90 THEN 1 ELSE -1 END AS tag,
+                 row_number() OVER (PARTITION BY z.event_type
+                                    ORDER BY z.bucket_ts) AS rn,
+                 count(*) OVER (PARTITION BY z.event_type) AS n
+          FROM z JOIN e ON z.event_type = e.event_type AND z.bucket_ts = e.bucket_ts
+                 JOIN g ON z.event_type = g.event_type)
+    SELECT event_type, bucket_ts, mf_z, mf_e, tag,
+           CASE WHEN rn <= CAST(floor(n * 0.8) AS BIGINT)
+                THEN 'train' ELSE 'test' END AS split
+    FROM m
+    """,
+)
 def ensemble_stacking_1h(spark, sf_dir):
-    """Second-stage stacking meta-learner (ensemble_stacking.py:81-129) over
-    two base scorers on the hourly rollup; ML fit is not SQL-expressible →
-    rows-only driver check (deterministic: positional split + LBFGS on
-    ordered input)."""
-    from mtsad_spark.operators.ensemble import stacking_ensemble
+    """Stacking ensemble, deterministic stage (ensemble_stacking.py:81-87 +
+    processor.py:249-261): base-scorer outputs stacked into the meta-feature
+    matrix (operators/ensemble.stack_meta_features) with tags and the
+    positional 80/20 split ids (operators/splits.fraction_split) — the exact
+    np.c_ + train_test_split shape the reference's meta-learner consumes,
+    fully SQL-oracled. The LR fit itself (stacking_ensemble) is covered by
+    the bounded-outcome + determinism pytest in tests/test_reduce_ensemble.py
+    (VERDICT r04 #3: ML fit stays non-SQL; the deterministic 90% is oracled).
+    Floats rounded to 6 on both sides; the zscore/EWMA formulas are the same
+    oracled forms as zscore_roll24_1h / ewma_scores_1h."""
+    from mtsad_spark.operators.ensemble import stack_meta_features
     from mtsad_spark.operators.scoring import ewma_residual, sliding_zscore
+    from mtsad_spark.operators.splits import fraction_split
 
     hourly = _hourly_df(spark, sf_dir)
     z = sliding_zscore(hourly, ["event_type"], "bucket_ts", "avg_v", w=24, k=2.0).select(
         "event_type", "bucket_ts", "avg_v",
-        F.coalesce("score", F.lit(0.0)).alias("z_score"),
+        F.round(F.coalesce("score", F.lit(0.0)), 6).alias("z_score"),
     )
     e = ewma_residual(hourly, ["event_type"], "bucket_ts", "avg_v", alpha=0.2).select(
-        "event_type", "bucket_ts", F.col("score").alias("ewma_score")
+        "event_type", "bucket_ts", F.round("score", 6).alias("ewma_score")
     )
     p90 = hourly.groupBy("event_type").agg(F.percentile("avg_v", F.lit(0.9)).alias("p90"))
     meta = (
@@ -2342,10 +2410,14 @@ def ensemble_stacking_1h(spark, sf_dir):
         .join(F.broadcast(p90), "event_type")
         .withColumn("tag", F.when(F.col("avg_v") > F.col("p90"), 1).otherwise(-1))
     )
-    out = stacking_ensemble(
-        meta, "bucket_ts", ["z_score", "ewma_score"], "tag", keys=["event_type"]
+    mf = stack_meta_features(
+        meta, ["event_type", "bucket_ts", "tag"], ["z_score", "ewma_score"], prefix="mf_"
+    ).withColumnRenamed("mf_z_score", "mf_z").withColumnRenamed("mf_ewma_score", "mf_e")
+    train, test = fraction_split(mf, "bucket_ts", 0.8, keys=["event_type"])
+    out = train.withColumn("split", F.lit("train")).unionByName(
+        test.withColumn("split", F.lit("test"))
     )
-    return out.select("event_type", "bucket_ts", "tag", "tag_pred")
+    return out.select("event_type", "bucket_ts", "mf_z", "mf_e", "tag", "split")
 
 
 def _media_feat_sql() -> str:
@@ -2639,10 +2711,10 @@ def tag_shift_2h(spark, sf_dir):
                       CASE WHEN e.value > t.p75 THEN 1 ELSE -1 END AS pred
                FROM events e, g JOIN t ON e.event_type = t.event_type),
          a AS (SELECT event_type,
-                      sum(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS tp,
-                      sum(CASE WHEN pred = 1 AND truth != 1 THEN 1 ELSE 0 END) AS fp,
-                      sum(CASE WHEN pred != 1 AND truth = 1 THEN 1 ELSE 0 END) AS fn,
-                      sum(CASE WHEN pred != 1 AND truth != 1 THEN 1 ELSE 0 END) AS tn
+                      CAST(sum(CASE WHEN pred = 1 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                      CAST(sum(CASE WHEN pred = 1 AND truth != 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                      CAST(sum(CASE WHEN pred != 1 AND truth = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                      CAST(sum(CASE WHEN pred != 1 AND truth != 1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
                FROM x GROUP BY 1),
          p AS (SELECT *,
                       CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END AS precision,
@@ -2781,7 +2853,7 @@ def ngram_bitmap_1h(spark, sf_dir):
             FROM c1 FULL OUTER JOIN c2
               ON c1.event_type = c2.event_type AND c1.ngram = c2.ngram)
     SELECT u.event_type,
-           sum((ca * mb - cb * ma) * (ca * mb - cb * ma)) AS dist_num,
+           CAST(sum((ca * mb - cb * ma) * (ca * mb - cb * ma)) AS BIGINT) AS dist_num,
            any_value(ma) AS ma, any_value(mb) AS mb,
            CAST(sum((ca * mb - cb * ma) * (ca * mb - cb * ma)) AS DOUBLE)
              / CAST((any_value(ma) * any_value(mb)) * (any_value(ma) * any_value(mb)) AS DOUBLE) AS distance
@@ -2833,20 +2905,22 @@ def _lineage_sql() -> str:
             f"SELECT count(*) FROM (SELECT DISTINCT source, "
             f"date_trunc('{trunc}', ingest_ts) FROM {seq})"
         )
-        parts.append(f"SELECT 'partials_{tier}' AS stage, ({cnt}) AS rows_out")
-        parts.append(f"SELECT 'rollup_{tier}', ({cnt})")
+        parts.append(
+            f"SELECT 'partials_{tier}' AS stage, CAST(({cnt}) AS BIGINT) AS rows_out"
+        )
+        parts.append(f"SELECT 'rollup_{tier}', CAST(({cnt}) AS BIGINT)")
     parts.append(
-        "SELECT 'gapfill_1m', (SELECT sum(date_diff('minute', mn, mx) + 1) FROM "
+        "SELECT 'gapfill_1m', CAST((SELECT sum(date_diff('minute', mn, mx) + 1) FROM "
         f"(SELECT source, min(date_trunc('minute', ingest_ts)) AS mn, "
-        f"max(date_trunc('minute', ingest_ts)) AS mx FROM {seq} GROUP BY 1))"
+        f"max(date_trunc('minute', ingest_ts)) AS mx FROM {seq} GROUP BY 1)) AS BIGINT)"
     )
     parts.append(
-        "SELECT 'packed_1m', (SELECT count(*) FROM (SELECT DISTINCT source, "
-        f"date_trunc('day', ingest_ts) FROM {seq}))"
+        "SELECT 'packed_1m', CAST((SELECT count(*) FROM (SELECT DISTINCT source, "
+        f"date_trunc('day', ingest_ts) FROM {seq})) AS BIGINT)"
     )
     parts.append(
-        "SELECT 'scores_1m', (SELECT count(*) FROM (SELECT DISTINCT source, "
-        f"date_trunc('minute', ingest_ts) FROM {seq}))"
+        "SELECT 'scores_1m', CAST((SELECT count(*) FROM (SELECT DISTINCT source, "
+        f"date_trunc('minute', ingest_ts) FROM {seq})) AS BIGINT)"
     )
     return " UNION ALL ".join(parts)
 
@@ -3104,11 +3178,11 @@ def _packing_sql() -> str:
                       CAST(n_tok AS BIGINT) AS n_tok
                FROM '{SEQFIX_PATH}'),
          p AS (SELECT source, doc_idx, n_tok,
-                      sum(n_tok) OVER (PARTITION BY source ORDER BY doc_idx)
-                        - n_tok AS excl
+                      CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_idx)
+                        - n_tok AS BIGINT) AS excl
                FROM d)
     SELECT source, excl // 8192 AS bin,
-           count(*) AS n_docs, sum(n_tok) AS tok_in_bin
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_in_bin
     FROM p GROUP BY 1, 2
     """
 

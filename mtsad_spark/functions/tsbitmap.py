@@ -389,10 +389,11 @@ def bitmap_grid_scores(
     slim = df.select(*keys, order_col, val_col)
     # multi-consumer frame: codes joins (level), nk, the i×offset joins and
     # the final timestamp join all re-read it — persist per CLAUDE.md
-    sym = (
+    from mtsad_spark.plans.scope import scoped_persist
+
+    sym = scoped_persist(
         sax_symbols_df(slim, keys, order_col, val_col, fw, bins, pos_col="pos")
         .select(*keys, order_col, "pos", F.col("symbol").cast("long").alias("symbol"))
-        .persist()
     )
 
     codes = sym.select(*keys, "pos", (F.col("symbol") + 1).alias("_c"))
@@ -403,7 +404,7 @@ def bitmap_grid_scores(
         )
         codes = codes.join(nxt, [*keys, "pos"])
         expr = expr * base + F.col(f"_c{l}")
-    codes = codes.select(*keys, "pos", expr.alias("code")).persist()
+    codes = scoped_persist(codes.select(*keys, "pos", expr.alias("code")))
 
     # interior positions i ∈ [lag, n_k − lead], derived ROW-PARALLEL from the
     # existing per-position rows (ADVICE r03): a sequence(lag, n−lead) on the

@@ -183,9 +183,11 @@ def minhash_dedup(
     re-evaluated ~5× (measured 87 s → ~8 s on 500 docs). At cluster scale
     these persists become the pipeline's stage checkpoints.
     """
-    sh = word_shingles(df, id_col, text_col, k).persist()
+    from mtsad_spark.plans.scope import scoped_persist
+
+    sh = scoped_persist(word_shingles(df, id_col, text_col, k))
     sigs = minhash_signatures(sh, id_col, n_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, n_hashes, bands).persist()
+    cand = scoped_persist(lsh_candidate_pairs(sigs, id_col, n_hashes, bands))
     return jaccard_pairs(cand, sh, id_col, threshold)
 
 
@@ -253,7 +255,12 @@ def dup_groups(
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    from mtsad_spark.plans.scope import register_scoped
+
+    # labels is returned persisted (its blocks are already hot from the
+    # convergence count) — scope it so the blocks release at the next query
+    # boundary instead of leaking into the session (plans/scope.py)
+    return register_scoped(labels)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:

@@ -114,8 +114,11 @@ def asof_join(
     )
     # u feeds three subplans (right partials, bucket frame, local resolve) —
     # persist per the repo's multi-consumer rule or the scans/shuffles below
-    # it re-execute three times
-    u = u.persist()
+    # it re-execute three times; scoped so the blocks release at the next
+    # query boundary (plans/scope.py)
+    from mtsad_spark.plans.scope import scoped_persist
+
+    u = scoped_persist(u)
     # per-(key, bucket) partial: the right row struct at the max right ts in
     # the bucket — algebraic max of (ts, values), map-side combined, skew-safe
     rpart = (

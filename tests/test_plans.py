@@ -308,3 +308,33 @@ def test_prefix_sum_is_scale_clean(spark, events):
 
     q = keyed_prefix_sum(events, ["event_type"], "ts", "value", coarse_width=3600.0)
     _assert_no_bare_key_window_over_raw_rows(q)
+
+
+def test_scoped_persists_release_at_query_boundary(spark, events):
+    """VERDICT r04 #3: operator-scoped persists (as-of join union frame, SAX
+    sym/codes, minhash shingles/candidates, dup-group labels) must all be
+    released at the next query boundary — a 50-query driver run may never
+    accumulate storage blocks. plans/scope.py owns the lifetime: operators
+    register via scoped_persist, driver_queries._q releases on entry."""
+    from mtsad_spark.operators.joins import asof_join
+    from mtsad_spark.plans.scope import _LIVE, release_scoped
+
+    release_scoped()
+    right = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.avg("value").alias("avg_v"))
+    out = asof_join(
+        events.limit(200), right, ["event_type"], "ts", "bucket_ts", ["avg_v"]
+    )
+    out.count()  # consuming action — scoped blocks now live
+    assert len(_LIVE) == 1, "asof_join should register exactly its union frame"
+    assert any(
+        r.numCachedPartitions() > 0
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ), "the scoped persist should actually hold blocks after the action"
+    n = release_scoped()  # what _q does on the next query's entry
+    assert n == 1 and not _LIVE
+    assert all(
+        r.numCachedPartitions() == 0
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ), "no persisted blocks may survive the query boundary"

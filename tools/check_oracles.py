@@ -49,6 +49,28 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(list(out.columns), na_position="last").reset_index(drop=True)
 
 
+def _kind(dtype) -> str:
+    """Collapse a dtype to a comparison kind: int / float / bool / dt / str."""
+    k = np.dtype(dtype).kind if not str(dtype).startswith("datetime") else "M"
+    return {"i": "int", "u": "int", "f": "float", "b": "bool", "M": "dt"}.get(k, "str")
+
+
+def oracle_type_guard(rel) -> str | None:
+    """Reject oracle relations whose output schema the driver canonicalizer
+    hashes differently from Spark's (VERDICT r04 #1): DuckDB widens integer
+    sum() to HUGEINT (pandas object/float64 vs Spark int64) and decimal
+    arithmetic to DECIMAL. Every oracle must CAST such outputs to
+    BIGINT/DOUBLE explicitly."""
+    bad = [
+        f"{c}:{t}"
+        for c, t in zip(rel.columns, [str(t).upper() for t in rel.types])
+        if "HUGEINT" in t or "DECIMAL" in t or "UTINYINT" in t or "UINTEGER" in t
+    ]
+    if bad:
+        return f"oracle output types need explicit CAST: {bad}"
+    return None
+
+
 def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     if set(a.columns) != set(b.columns):
         return f"columns differ: spark={sorted(a.columns)} duck={sorted(b.columns)}"
@@ -56,6 +78,12 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
         return f"row counts differ: spark={len(a)} duck={len(b)}"
     a, b = normalize(a), normalize(b)
     for c in a.columns:
+        # the driver's hash is dtype-strict: int64 5 vs float64 5.0 is a
+        # hash mismatch even though `==` passes — reject kind mismatches
+        # locally so local green predicts driver green (ADVICE r04)
+        ka, kb = _kind(a[c].dtype), _kind(b[c].dtype)
+        if ka != kb:
+            return f"dtype kind differs in column {c}: spark={a[c].dtype} duck={b[c].dtype}"
         av, bv = a[c].values, b[c].values
         if np.issubdtype(a[c].dtype, np.floating):
             ok = np.allclose(
@@ -114,9 +142,15 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            ddf = con.sql(osql[name]).df()
+            rel = con.sql(osql[name])
+            type_err = oracle_type_guard(rel)
+            ddf = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if type_err:
+            print(f"FAIL  {name}: {type_err}")
             n_fail += 1
             continue
         err = compare(sdf, ddf)
