@@ -113,3 +113,45 @@ def rolling_hash_fingerprints(
         F.col(id_col),
         F.posexplode(fps).alias("pos", "fp"),
     )
+
+
+def rolling_polynomial_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 32,
+    stride: int = 16,
+    base: int = 257,
+    mod: int = (1 << 31) - 1,
+) -> DataFrame:
+    """Rabin–Karp POLYNOMIAL fingerprints (the rolling-hash family proper,
+    Schleimer/Wilkerson/Aiken winnowing, SIGMOD'03):
+    ``fp(p) = Σ_j code(c_{p+j})·B^{w−1−j} mod M`` for every stride-aligned
+    full window of the whitespace-normalized text. Evaluated by Horner's rule
+    with a mod after every step, so intermediates stay < M·B + 255 < 2^39 —
+    BIGINT-exact in ANY engine (the portable-arithmetic move of the md5
+    MinHash/SimHash variants, with no hash library dependence at all).
+
+    Spark-first shape: the per-position Horner chain is a pure JVM column
+    expression under whole-stage codegen — O(w) work per position instead of
+    the O(1) sequential-carry recurrence, but embarrassingly parallel across
+    positions/docs, which at corpus scale beats any per-doc sequential scan.
+    Docs shorter than ``window`` emit no fingerprint (full windows only, so
+    every fingerprint hashes exactly ``window`` character codes)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    positions = F.when(
+        F.length(norm) >= window,
+        F.sequence(F.lit(0), F.length(norm) - window, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    # explode positions FIRST, then run the Horner chain as a flat column
+    # expression over (doc, position) rows — a w-deep chain inside a
+    # higher-order-function lambda re-inlines the norm expression per step
+    # and overflows the analyzer's resolution fixpoint at w=32
+    d = df.withColumn("_norm", norm).select(
+        F.col(id_col), "_norm", F.posexplode(positions).alias("pos", "p")
+    )
+    h = F.lit(0).cast("long")
+    for j in range(window):
+        code = F.ascii(F.substr(F.col("_norm"), F.col("p") + F.lit(j + 1), F.lit(1)))
+        h = (h * base + code) % mod
+    return d.select(F.col(id_col), "pos", h.alias("fp"))

@@ -292,7 +292,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
 
 def simhash_dup_pairs(
     sigs: DataFrame, id_col: str, max_hamming: int = 3,
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
@@ -309,7 +309,10 @@ def simhash_dup_pairs(
     than the cap are EXCLUDED from candidate generation — audit the excluded
     mass with :func:`simhash_oversize_buckets` (no silent caps); identical
     documents are exact duplicates and belong to the exact-dedup pre-pass.
-    ``None`` disables the guard (the pre-cap behavior)."""
+    The DEFAULT is ``None`` (complete recall, the pre-r4 behavior): a cap
+    changes the result set, so it must be an explicit caller opt-in paired
+    with the audit — scale pipelines (driver registry, RollupPipeline) pass
+    100_000 (ADVICE r04: no silent recall change for existing callers)."""
     n_chunks = min(max_hamming + 1, 16)
     base_w = 64 // n_chunks
     # every bit must belong to exactly one chunk or the pigeonhole breaks:
@@ -377,3 +380,74 @@ def simhash_oversize_buckets(
         )
         out = g if out is None else out.unionByName(g)
     return out
+
+
+def token_ngrams(
+    df: DataFrame, id_col: str, tokens_col: str, n: int = 13
+) -> DataFrame:
+    """Distinct token n-grams per document as portable 60-bit md5 keys:
+    ``(id, ngram_key)`` — one row per DISTINCT n-gram a document contains.
+    The n-gram string (tokens joined by ',') is hashed to a long so shuffles
+    carry 8-byte keys instead of ~100-byte strings; md5 keeps it reproducible
+    in any engine (same move as the md5 MinHash family). Documents shorter
+    than ``n`` tokens emit nothing."""
+    # sequence(1, 0) counts DOWN ([1, 0]) — docs shorter than n must route
+    # through an empty array (the dropin_augment lesson), or slice(…, 0, n)
+    # throws INVALID_PARAMETER_VALUE
+    grams = F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ',')) "
+        f"ELSE array() END"
+    )
+    key = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("_g"))
+        .select(F.col(id_col), key.alias("ngram_key"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    holdout: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 13,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Train/eval contamination check — the n-gram-overlap decontamination
+    step every LLM training pipeline runs against its eval sets (public
+    practice: GPT-3 App. C / PaLM-style 13-gram overlap): which holdout
+    documents share at least one token n-gram with which training documents.
+
+    Returns (holdout_id, train_id, n_shared) — the number of distinct
+    n-grams the pair shares. Candidate generation is BUCKET-LOCAL by n-gram
+    key (the LSH-banding discipline: never an all-pairs join); a 100 TB
+    corpus shuffles (id, 8-byte key) pairs only.
+
+    ``df_cap`` optionally drops n-grams appearing in more than ``df_cap``
+    training documents BEFORE the join — boilerplate n-grams (licenses,
+    headers) are both a hot-bucket skew risk and non-signal for
+    contamination. The cap is an explicit opt-in and its effect is visible
+    in-band: capped n-grams are simply absent from ``n_shared``.
+    """
+    tg = token_ngrams(train, id_col, tokens_col, n).select(
+        F.col(id_col).alias("train_id"), "ngram_key"
+    )
+    hg = token_ngrams(holdout, id_col, tokens_col, n).select(
+        F.col(id_col).alias("holdout_id"), "ngram_key"
+    )
+    if df_cap is not None:
+        ok = (
+            tg.groupBy("ngram_key")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("ngram_key")
+        )
+        tg = tg.join(ok, "ngram_key")
+    return (
+        hg.join(tg, "ngram_key")
+        .groupBy("holdout_id", "train_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -304,6 +304,12 @@ def distinct_overlap_1d(
     At 100 TB the sketches are the ONLY thing crossing days — no raw id sets
     move; below the sketch's nominal entries the estimates are exact.
 
+    EVERY observed (keys, day) emits a row (LEFT join against the previous
+    day): a key's first day — or a day after a per-key gap — reports
+    ``returning_est = 0`` and ``union_est = n_today_est`` rather than being
+    dropped (ADVICE r04: the old inner join silently lost those days, which
+    only looked right on gap-free fixtures).
+
     Returns (keys..., bucket_ts, n_today_est, returning_est, union_est).
     """
     sk = df.groupBy(*keys, bucket_expr(ts_col, "1d").alias("bucket_ts")).agg(
@@ -314,15 +320,135 @@ def distinct_overlap_1d(
         F.date_add(F.col("bucket_ts"), 1).cast("timestamp").alias("bucket_ts"),
         F.col("_th").alias("_th_prev"),
     )
-    j = sk.join(prev, [*keys, "bucket_ts"], "inner")
+    j = sk.join(prev, [*keys, "bucket_ts"], "left")
+    has_prev = F.col("_th_prev").isNotNull()
+    today_est = F.theta_sketch_estimate("_th").cast("long")
     return j.select(
         *keys,
         "bucket_ts",
-        F.theta_sketch_estimate("_th").cast("long").alias("n_today_est"),
-        F.theta_sketch_estimate(F.theta_intersection("_th", "_th_prev"))
-        .cast("long")
+        today_est.alias("n_today_est"),
+        F.when(
+            has_prev,
+            F.theta_sketch_estimate(F.theta_intersection("_th", "_th_prev")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
         .alias("returning_est"),
-        F.theta_sketch_estimate(F.theta_union("_th", "_th_prev"))
-        .cast("long")
+        F.when(
+            has_prev,
+            F.theta_sketch_estimate(F.theta_union("_th", "_th_prev")).cast("long"),
+        )
+        .otherwise(today_est)
         .alias("union_est"),
+    )
+
+
+def merge_partials(a: DataFrame, b: DataFrame, keys: list[str], tier: str) -> DataFrame:
+    """Merge two same-tier partial frames (continuous-aggregate refresh
+    algebra): union + re-aggregate. Exact for LONG s1/s2 — associative, so
+    incremental maintenance is bitwise-equal to a from-scratch rebuild."""
+    return reaggregate(a.unionByName(b), keys, tier)
+
+
+def _floor_dt(t, unit_s: int):
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    s = int((t - epoch).total_seconds())
+    return epoch + _dt.timedelta(seconds=(s // unit_s) * unit_s)
+
+
+def _ceil_dt(t, unit_s: int):
+    import datetime as _dt
+
+    epoch = _dt.datetime(1970, 1, 1)
+    s = int((t - epoch).total_seconds())
+    return epoch + _dt.timedelta(seconds=-(-s // unit_s) * unit_s)
+
+
+def range_tiles(t0, t1) -> dict[str, list[tuple]]:
+    """Partition [t0, t1) into tier-aligned tiles — coarsest tier possible in
+    the middle, finer tiers at the edges (the continuous-aggregate READ path:
+    TimescaleDB/M3-style tier routing). ``t0``/``t1`` must be minute-aligned
+    datetimes. Returns {tier: [(lo, hi), ...]} covering [t0, t1) exactly,
+    each (lo, hi) aligned to its tier's bucket width.
+
+    The tiling is pure driver-side arithmetic on two timestamps — no data is
+    touched until :func:`stitched_range_aggregate` filters the partials."""
+    if t0 >= t1:
+        raise ValueError(f"empty range: {t0} >= {t1}")
+    for t in (t0, t1):
+        if int(t.timestamp()) % 60 or t.microsecond:
+            raise ValueError(f"range endpoints must be minute-aligned, got {t}")
+    tiles: dict[str, list[tuple]] = {"1m": [], "1h": [], "1d": []}
+
+    def _add(tier, lo, hi):
+        if lo < hi:
+            tiles[tier].append((lo, hi))
+
+    a = t0
+    ch = _ceil_dt(a, 3600)
+    if ch >= t1:
+        _add("1m", a, t1)  # range inside one hour: minutes only
+        return tiles
+    _add("1m", a, ch)
+    a = ch
+    fh = _floor_dt(t1, 3600)
+    cd = _ceil_dt(a, 86400)
+    if cd >= fh:
+        _add("1h", a, fh)  # no full day inside: hours bridge the middle
+    else:
+        fd = _floor_dt(fh, 86400)
+        _add("1h", a, cd)
+        _add("1d", cd, fd)
+        _add("1h", fd, fh)
+    _add("1m", fh, t1)
+    return tiles
+
+
+def stitched_range_aggregate(
+    partials_by_tier: dict[str, DataFrame], keys: list[str], t0, t1
+) -> DataFrame:
+    """Aggregate over [t0, t1) by STITCHING retention tiers: full days from
+    the 1d rollup, edge hours from 1h, edge minutes from 1m — the classic
+    tiered-rollup range query. A query spanning years of a 10^12-row table
+    touches only rollup-sized data (≤ 1440 + 48 + 2·59 tier rows per key for
+    any range) instead of the raw rows, and partition pruning on bucket_ts
+    reaches every tier scan. Exact: LONG partials merge associatively, so the
+    stitched result is bitwise-equal to aggregating the raw rows directly
+    (oracled in driver_queries.stitched_range_agg).
+
+    ``partials_by_tier`` maps tier -> that tier's partial frame
+    (:func:`rollup_partials` / :func:`reaggregate` output)."""
+    tiles = range_tiles(t0, t1)
+    pieces = []
+    for tier, spans in tiles.items():
+        if not spans:
+            continue
+        pred = None
+        for lo, hi in spans:
+            p = (F.col("bucket_ts") >= F.lit(lo)) & (F.col("bucket_ts") < F.lit(hi))
+            pred = p if pred is None else pred | p
+        pieces.append(
+            partials_by_tier[tier].filter(pred).select(*keys, *PARTIAL_COLS)
+        )
+    u = pieces[0]
+    for p in pieces[1:]:
+        u = u.unionByName(p)
+    merged = u.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )
+    mean = F.col("s1").cast("double") / F.col("cnt")
+    var = F.col("s2").cast("double") / F.col("cnt") - mean * mean
+    return merged.select(
+        *keys,
+        "cnt",
+        F.col("s1").alias("sum_v"),
+        mean.alias("mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("std"),
+        "vmin",
+        "vmax",
     )

@@ -209,7 +209,7 @@ def embedding_near_dups(
     n_planes: int = 8,
     seed: int = 42,
     n_tables: int = 1,
-    max_bucket: int | None = 100_000,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: hyperplane-LSH buckets the
     corpus, the self-join runs WITHIN (table, bucket) only, exact cosine
@@ -227,7 +227,9 @@ def embedding_near_dups(
     candidate generation — audit what a cap would drop with
     :func:`oversize_buckets` before relying on the output (no silent caps);
     identical vectors are exact duplicates and belong to the exact-dedup
-    pre-pass, not the LSH path. ``None`` disables the guard."""
+    pre-pass, not the LSH path. The DEFAULT is ``None`` (complete recall):
+    the cap is an explicit caller opt-in paired with the audit — scale
+    pipelines pass 100_000 (ADVICE r04: no silent recall change)."""
     b = _multi_table_buckets(
         df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")),
         "_v", dim, n_planes, seed, n_tables,

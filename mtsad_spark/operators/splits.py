@@ -130,3 +130,61 @@ def label_encode(df: DataFrame, col: str, mapping: dict[str, int], out_col: str 
     for k, v in mapping.items():
         expr = F.when(F.col(col) == k, v) if expr is None else expr.when(F.col(col) == k, v)
     return df.withColumn(out_col, expr)
+
+
+def hash_ranked_sample(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    k: int,
+    seed: int = 42,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic uniform per-key sample: the ``k`` rows with the smallest
+    60-bit ``md5(seed|id)`` per key — reproducible across engines, reruns and
+    partitionings (the portable-hash discipline of the md5 MinHash variants),
+    unlike ``rand()``/``TABLESAMPLE`` which resample every run.
+
+    Scale shape: NEVER a bare-key window over the raw rows. The hash space is
+    cut into ``n_buckets`` order-compatible slices (top bits of the hash);
+    rows are counted per (keys, bucket) — algebraic, map-side combined — and
+    the only keys-only window runs over that n_buckets-row COUNT frame.
+    Buckets whose cumulative predecessor count already reaches ``k`` are
+    PRUNED before the local rank window, so the per-(key, bucket) sort
+    touches ~k candidate rows per key, not the corpus (the
+    scoring._global_row_numbers composition plus top-k pruning).
+
+    Returns the sampled rows with ``sample_rank`` (0-based ascending hash
+    order, ties broken by id — exact, engine-independent).
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - n_buckets.bit_length() + 1
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    b = df.withColumn("_h", h).withColumn(
+        "_hb", F.shiftrightunsigned(F.col("_h"), shift)
+    )
+    counts = b.groupBy(*keys, "_hb").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.partitionBy(*keys).orderBy("_hb").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        counts.withColumn("_off", F.coalesce(F.sum("_n").over(woff), F.lit(0)))
+        .filter(F.col("_off") < k)  # top-k pruning: later buckets can't contribute
+        .drop("_n")
+    )
+    wloc = Window.partitionBy(*keys, "_hb").orderBy("_h", id_col)
+    return (
+        b.join(offsets, [*keys, "_hb"])  # inner join = the prune
+        .withColumn("sample_rank", F.col("_off") + F.row_number().over(wloc) - 1)
+        .filter(F.col("sample_rank") < k)
+        .drop("_h", "_hb", "_off")
+    )

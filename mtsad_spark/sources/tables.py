@@ -102,13 +102,46 @@ class TableProvider:
         Returns {"dropped": [...], "kept": [...]} partition values so callers
         can record what expired (no silent deletes). Raises if the table has
         no such partition layout — retention against a non-partitioned table
-        would otherwise silently do nothing."""
+        would otherwise silently do nothing.
+
+        Comparison semantics (ADVICE r04): directory names are Hive-ESCAPED
+        (':' → ``%3A`` in hour-granularity values), so values are URL-decoded
+        BEFORE the lexicographic compare and reported decoded. The compare is
+        correct exactly for values whose decoded form orders lexicographically
+        — ISO dates (``2026-01-31``), hours (``2026-01-31 23:00:00``) and
+        zero-padded numerics; arbitrary strings are the caller's risk."""
+        from urllib.parse import unquote
+
         if self.catalog:
+            full = f"{self.catalog}.{name}"
+            # verify the partition spec actually contains partition_col —
+            # otherwise DELETE degrades to a row-level rewrite (or a no-op
+            # typo) and the "metadata-only" promise is silently broken
+            part_cols, in_part = [], False
+            for row in self.spark.sql(f"DESCRIBE TABLE {full}").collect():
+                col = (row.col_name or "").strip()
+                if col.startswith("# Partition"):
+                    in_part = True
+                elif in_part and col and not col.startswith("#"):
+                    part_cols.append(col)
+            if partition_col not in part_cols:
+                raise ValueError(
+                    f"iceberg table {full!r} is not partitioned by "
+                    f"{partition_col!r} (partition spec: {part_cols}); "
+                    "retention needs a partition on the retention column"
+                )
+            vals = [
+                str(r[0])
+                for r in self.spark.sql(
+                    f"SELECT DISTINCT {partition_col} FROM {full}"
+                ).collect()
+            ]
+            dropped = sorted(v for v in vals if v < cutoff)
+            kept = sorted(v for v in vals if v >= cutoff)
             self.spark.sql(
-                f"DELETE FROM {self.catalog}.{name} "
-                f"WHERE {partition_col} < '{cutoff}'"
+                f"DELETE FROM {full} WHERE {partition_col} < '{cutoff}'"
             )
-            return {"dropped": [f"< {cutoff} (iceberg metadata delete)"], "kept": []}
+            return {"dropped": dropped, "kept": kept}
         jvm = self.spark._jvm
         root = jvm.org.apache.hadoop.fs.Path(self.path(name))
         fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
@@ -122,7 +155,7 @@ class TableProvider:
             if not dirname.startswith(prefix):
                 continue
             found_layout = True
-            value = dirname[len(prefix):]
+            value = unquote(dirname[len(prefix):])
             if value < cutoff:
                 fs.delete(st.getPath(), True)
                 dropped.append(value)

@@ -1,0 +1,187 @@
+"""Continuous-aggregate surface (r5): incremental refresh, tier stitching,
+deterministic sampling, n-gram contamination."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+
+
+def test_incremental_refresh_equals_full_rebuild(spark, events, tmp_path):
+    """N incremental refreshes must be bitwise-equal to one from-scratch
+    rollup (associative LONG partials), at every tier."""
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+
+    ev = events.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    ca = ContinuousAggregate(spark, str(tmp_path / "ca"), ["event_type"], "ts", "cents")
+    # three uneven batches, one of which is empty-ish (single day)
+    b1 = ev.filter(F.col("event_id") % 3 == 0)
+    b2 = ev.filter(F.col("event_id") % 3 == 1)
+    b3 = ev.filter(F.col("event_id") % 3 == 2)
+    a1 = ca.refresh(b1)
+    ca.refresh(b2)
+    ca.refresh(b3)
+    assert a1["1m"] >= 1 and a1["1d"] >= 1  # affected-day lineage metric
+
+    full = {"1m": rollup_partials(ev, "ts", "cents", ["event_type"], "1m")}
+    full["1h"] = reaggregate(full["1m"], ["event_type"], "1h")
+    full["1d"] = reaggregate(full["1h"], ["event_type"], "1d")
+    for tier in ("1m", "1h", "1d"):
+        got = ca.read_partials(tier).toPandas().sort_values(
+            ["event_type", "bucket_ts"]).reset_index(drop=True)
+        want = full[tier].toPandas().sort_values(
+            ["event_type", "bucket_ts"]).reset_index(drop=True)
+        assert len(got) == len(want), tier
+        for c in ("cnt", "s1", "s2", "vmin", "vmax"):
+            assert (got[c].values == want[c].values).all(), (tier, c)
+
+
+def test_incremental_refresh_touches_only_affected_partitions(spark, events, tmp_path):
+    """The partition-metadata promise: a batch landing in one day must leave
+    every other stored day-partition's files untouched (dynamic overwrite +
+    pruned read), not rewrite the table."""
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+
+    ev = events.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    ca = ContinuousAggregate(spark, str(tmp_path / "ca"), ["event_type"], "ts", "cents")
+    ca.refresh(ev)
+
+    def day_files(tier):
+        root = os.path.join(str(tmp_path / "ca"), f"agg_{tier}")
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("_day="):
+                full = os.path.join(root, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                }
+        return out
+
+    before = day_files("1m")
+    one_day = ev.filter(F.to_date("ts") == F.lit("2024-01-05"))
+    assert one_day.count() > 0
+    affected = ca.refresh(one_day)
+    assert affected["1m"] == 1 and affected["1d"] == 1
+    after = day_files("1m")
+    assert set(after) == set(before)
+    for d in before:
+        if d == "_day=2024-01-05":
+            assert after[d] != before[d], "affected partition must be rewritten"
+        else:
+            assert after[d] == before[d], f"untouched partition {d} was rewritten"
+
+
+@pytest.mark.parametrize(
+    "t0,t1",
+    [
+        ("2024-01-03 05:17:00", "2024-01-27 21:43:00"),  # all three tiers
+        ("2024-01-10 00:00:00", "2024-01-12 00:00:00"),  # pure days
+        ("2024-01-10 07:00:00", "2024-01-10 19:00:00"),  # hours in one day
+        ("2024-01-10 07:05:00", "2024-01-10 07:31:00"),  # minutes in one hour
+        ("2024-01-09 23:58:00", "2024-01-10 00:03:00"),  # midnight straddle
+    ],
+)
+def test_stitched_range_equals_direct(spark, events, t0, t1):
+    from mtsad_spark.operators.rollup import (
+        reaggregate,
+        rollup_partials,
+        stitched_range_aggregate,
+    )
+
+    ev = events.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    p1m = rollup_partials(ev, "ts", "cents", ["event_type"], "1m")
+    tiers = {"1m": p1m, "1h": reaggregate(p1m, ["event_type"], "1h")}
+    tiers["1d"] = reaggregate(tiers["1h"], ["event_type"], "1d")
+    d0, d1 = dt.datetime.fromisoformat(t0), dt.datetime.fromisoformat(t1)
+    got = (
+        stitched_range_aggregate(tiers, ["event_type"], d0, d1)
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    direct = (
+        ev.filter((F.col("ts") >= F.lit(d0)) & (F.col("ts") < F.lit(d1)))
+        .groupBy("event_type")
+        .agg(
+            F.count("cents").alias("cnt"),
+            F.sum("cents").alias("sum_v"),
+            F.min("cents").alias("vmin"),
+            F.max("cents").alias("vmax"),
+        )
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    assert len(got) == len(direct)
+    for c in ("cnt", "sum_v", "vmin", "vmax"):
+        assert (got[c].values == direct[c].values).all(), (t0, t1, c)
+
+
+def test_hash_ranked_sample_matches_naive_and_is_stable(spark, events):
+    """Exact per-key ranks vs a pandas recompute of the same md5 order, and
+    partitioning-invariance (the determinism the op exists for)."""
+    import hashlib
+
+    from mtsad_spark.operators.splits import hash_ranked_sample
+
+    ev = events.select("event_type", "event_id")
+    got = hash_ranked_sample(ev, ["event_type"], "event_id", k=7, seed=9).toPandas()
+    pdf = ev.toPandas()
+    pdf["h"] = [
+        int(hashlib.md5(f"9|{i}".encode()).hexdigest()[:15], 16)
+        for i in pdf["event_id"]
+    ]
+    want = (
+        pdf.sort_values(["h", "event_id"])
+        .groupby("event_type")
+        .head(7)
+        .sort_values(["event_type", "h"])
+    )
+    g = got.sort_values(["event_type", "sample_rank"])
+    assert list(g["event_id"]) == list(want["event_id"])
+    assert list(g["sample_rank"]) == sorted(range(7)) * want["event_type"].nunique()
+    got2 = (
+        hash_ranked_sample(ev.repartition(13), ["event_type"], "event_id", k=7, seed=9)
+        .toPandas().sort_values(["event_type", "sample_rank"])
+    )
+    assert list(got2["event_id"]) == list(g["event_id"])
+
+
+def test_ngram_contamination_finds_planted_overlap(spark):
+    from mtsad_spark.operators.dedup import ngram_contamination
+
+    rows = [
+        ("t1", list(range(100, 160))),           # source doc
+        ("t2", list(range(500, 560))),           # unrelated
+        ("t3", list(range(9, 12))),              # shorter than n → no grams
+    ]
+    train = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    holdout = spark.createDataFrame(
+        [("e1", list(range(110, 140))),          # 30-token slice of t1
+         ("e2", list(range(900, 930)))],         # clean
+        "doc_id string, tokens array<int>",
+    )
+    out = ngram_contamination(train, holdout, "doc_id", "tokens", n=13).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["holdout_id"], r["train_id"]) == ("e1", "t1")
+    assert r["n_shared"] == 30 - 13 + 1  # every 13-gram of the slice
+
+    # df_cap drops boilerplate n-grams shared by too many training docs
+    boiler = spark.createDataFrame(
+        [(f"b{i}", list(range(0, 20))) for i in range(5)] + rows,
+        "doc_id string, tokens array<int>",
+    )
+    h2 = spark.createDataFrame(
+        [("e3", list(range(0, 20)))], "doc_id string, tokens array<int>"
+    )
+    capped = ngram_contamination(boiler, h2, "doc_id", "tokens", n=13, df_cap=3)
+    assert capped.count() == 0
+    uncapped = ngram_contamination(boiler, h2, "doc_id", "tokens", n=13)
+    assert uncapped.count() == 5

@@ -211,3 +211,35 @@ def test_retention_drops_old_day_partitions(spark, tmp_path):
     tp.write(df.drop("day"), "flat")
     with _pytest.raises(ValueError, match="partition"):
         tp.drop_partitions_before("flat", "day", "2024-01-03")
+
+
+def test_retention_decodes_escaped_hour_partitions(spark, tmp_path):
+    """ADVICE r04: hour-granularity partition values contain ':' which Hive
+    escapes to %3A in directory names — the cutoff compare must run on the
+    DECODED value (lexicographic '%3A' vs ':' would misorder) and report
+    decoded values."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.sources.tables import TableProvider
+
+    pdf = pd.DataFrame(
+        {
+            "bucket_ts": list(pd.date_range("2024-01-01", periods=96, freq="15min")),
+            "mean": range(96),
+        }
+    )
+    tp = TableProvider(spark, str(tmp_path))
+    df = spark.createDataFrame(pdf).withColumn(
+        "hour", F.date_format("bucket_ts", "yyyy-MM-dd HH:00:00")
+    )
+    tp.write(df, "rollup_1h", partition_by=["hour"])
+
+    res = tp.drop_partitions_before("rollup_1h", "hour", "2024-01-01 12:00:00")
+    assert res["dropped"] == [
+        f"2024-01-01 {h:02d}:00:00" for h in range(12)
+    ], "decoded values must compare/report correctly"
+    assert len(res["kept"]) == 12
+    assert all(":" in v and "%3A" not in v for v in res["dropped"] + res["kept"])
+    after = tp.read("rollup_1h")
+    assert after.count() == 48

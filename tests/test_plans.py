@@ -320,6 +320,9 @@ def test_scoped_persists_release_at_query_boundary(spark, events):
     from mtsad_spark.plans.scope import _LIVE, release_scoped
 
     release_scoped()
+    # session-scoped test fixtures hold their own caches — judge only blocks
+    # created by THIS operator (new RDD ids)
+    pre = {r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()}
     right = events.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(F.avg("value").alias("avg_v"))
@@ -328,13 +331,18 @@ def test_scoped_persists_release_at_query_boundary(spark, events):
     )
     out.count()  # consuming action — scoped blocks now live
     assert len(_LIVE) == 1, "asof_join should register exactly its union frame"
-    assert any(
-        r.numCachedPartitions() > 0
+    new = [
+        r
         for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if r.id() not in pre
+    ]
+    assert any(
+        r.numCachedPartitions() > 0 for r in new
     ), "the scoped persist should actually hold blocks after the action"
     n = release_scoped()  # what _q does on the next query's entry
     assert n == 1 and not _LIVE
     assert all(
         r.numCachedPartitions() == 0
         for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    ), "no persisted blocks may survive the query boundary"
+        if r.id() not in pre
+    ), "no operator-scoped blocks may survive the query boundary"

@@ -203,9 +203,19 @@ def test_distinct_overlap_1d_exact_below_nominal_entries(spark):
     pdf["day"] = pdf["ts"].dt.floor("d")
     sets = pdf.groupby(["event_type", "day"])["user_id"].agg(set).to_dict()
     assert len(got) > 50
+    # ADVICE r04: EVERY observed (key, day) must emit a row — including each
+    # key's first day (no previous-day set → returning 0, union = today)
+    assert len(got) == len(sets)
+    n_first = 0
     for _, r in got.iterrows():
         today = sets[(r["event_type"], r["bucket_ts"])]
-        prev = sets[(r["event_type"], r["bucket_ts"] - pd.Timedelta(days=1))]
+        prev = sets.get((r["event_type"], r["bucket_ts"] - pd.Timedelta(days=1)))
         assert r["n_today_est"] == len(today)
-        assert r["returning_est"] == len(today & prev)
-        assert r["union_est"] == len(today | prev)
+        if prev is None:
+            n_first += 1
+            assert r["returning_est"] == 0
+            assert r["union_est"] == len(today)
+        else:
+            assert r["returning_est"] == len(today & prev)
+            assert r["union_est"] == len(today | prev)
+    assert n_first >= 1  # at least each key's first observed day
