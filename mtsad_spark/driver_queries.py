@@ -3525,6 +3525,37 @@ def ngram_contamination_seqfix(spark, sf_dir):
     return ngram_contamination(seq, holdout, "doc_id", "tokens", n=13)
 
 
+def _heavy_hitters_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH tok AS (SELECT source, unnest(tokens) AS token FROM '{SEQFIX_PATH}'),
+         cnt AS (SELECT source, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         tot AS (SELECT source, count(*) AS total FROM tok GROUP BY 1),
+         r AS (SELECT cnt.source, token, cnt,
+                      CAST(row_number() OVER (PARTITION BY cnt.source
+                                              ORDER BY cnt DESC, token) AS INTEGER) AS rank,
+                      CAST(cnt AS DOUBLE) / total AS support
+               FROM cnt JOIN tot USING (source))
+    SELECT source, token, CAST(cnt AS BIGINT) AS cnt, rank, support
+    FROM r WHERE rank <= 20
+    """
+
+
+@_q("token_heavy_hitters_seqfix", _heavy_hitters_sql())
+def token_heavy_hitters_seqfix(spark, sf_dir):
+    """Per-source heavy-hitter tokens (operators/rollup.token_heavy_hitters):
+    the frequency member of the tier-sketch family (HLL distinct / KLL
+    quantiles / Theta overlap / frequency). Exact counts with deterministic
+    (cnt DESC, token) tie-break; support is one division of exact longs —
+    bitwise cross-engine."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.operators.rollup import token_heavy_hitters
+
+    seq = spark.read.parquet(ensure_seqfix()).select("source", "tokens")
+    return token_heavy_hitters(seq, ["source"], "tokens", k=20)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3546,6 +3577,7 @@ _PRIORITY = [
     "stitched_range_agg",
     "hash_sample_events",
     "ngram_contamination_seqfix",
+    "token_heavy_hitters_seqfix",
     # (a) the four r4 hash-fails, now CAST to BIGINT oracle-side (VERDICT r04
     # #1) — flipping these green closes A9/A15/J4/A16/S10 + the packing op
     "prf_rounded3",
@@ -3601,7 +3633,6 @@ _PRIORITY = [
     "docs_quality",
     "docs_fingerprint",
     "docs_token_stats_by_source",
-    "knn_cosine_top3",
 ]
 _REG = {
     **{k: _REG[k] for k in _PRIORITY if k in _REG},

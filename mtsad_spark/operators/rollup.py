@@ -25,7 +25,7 @@ count/sum are the north_star continuous-aggregate set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tier name -> (date_trunc unit, seconds)
@@ -452,3 +452,40 @@ def stitched_range_aggregate(
         "vmin",
         "vmax",
     )
+
+
+def token_heavy_hitters(
+    df: DataFrame,
+    keys: list[str],
+    tokens_col: str,
+    k: int = 20,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Per-key heavy hitters over a token-array column: the ``k`` most
+    frequent tokens (ties broken by token id) with their exact counts and
+    support — the frequency member of the tier-sketch family (HLL distinct /
+    KLL quantiles / Theta overlap / this).
+
+    Spark-first: explode + hash-groupBy(keys, token) is map-side combined and
+    shuffles at most (tasks × vocab) rows — for LLM token streams the vocab
+    (~50k) bounds every per-key frame, so the ranking window runs over a
+    vocab-BOUNDED count frame, never raw rows (the ngram_bitmap discipline).
+    Exact by construction; a Misra-Gries sketch only becomes necessary for
+    unbounded key spaces (raw strings), where the same pipeline applies after
+    a fingerprint.
+
+    support = cnt/total is ONE division of exact longs — bitwise
+    cross-engine."""
+    tok = df.select(*keys, F.explode(F.col(tokens_col)).alias("token"))
+    cnt = tok.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.groupBy(*keys).agg(F.count(F.lit(1)).alias("_total"))
+    w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = (
+        cnt.join(total, keys)
+        .withColumn("rank", F.row_number().over(w))
+        .withColumn("support", F.col("cnt").cast("double") / F.col("_total"))
+    )
+    out = ranked.filter(F.col("rank") <= k)
+    if min_support > 0:
+        out = out.filter(F.col("support") >= min_support)
+    return out.select(*keys, "token", "cnt", "rank", "support")

@@ -206,3 +206,80 @@ def test_streaming_exact_dedup_first_arrival_wins(spark, tmp_path):
     assert len(got) == 100  # one survivor per distinct text
     assert got["content_hash"].nunique() == 100
     assert set(got["text"]) == set(pdf["text"])
+
+
+def test_streaming_continuous_aggregate_matches_batch(spark, tmp_path):
+    """foreachBatch ingest maintaining the stored tier tables: an
+    availableNow drain over multiple micro-batches must leave the tier
+    tables bitwise-equal to one batch rollup of the same rows, and a
+    replayed batch id must NOT double-merge (the transactional-sink
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+    from mtsad_spark.streaming.continuous_stream import StreamingContinuousAggregate
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .select("event_type", "ts", "cents")
+    )
+    src = str(tmp_path / "src")
+    # several files → several availableNow micro-batches with maxFilesPerTrigger
+    ev.repartition(4).write.parquet(src)
+    agg = ContinuousAggregate(
+        spark, str(tmp_path / "ca"), ["event_type"], "ts", "cents"
+    )
+    sink = StreamingContinuousAggregate(agg)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = sink.start(stream, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    assert len(sink._applied()) >= 2, "expected multiple micro-batches"
+
+    full = {"1m": rollup_partials(ev, "ts", "cents", ["event_type"], "1m")}
+    full["1h"] = reaggregate(full["1m"], ["event_type"], "1h")
+    full["1d"] = reaggregate(full["1h"], ["event_type"], "1d")
+    for tier in ("1m", "1h", "1d"):
+        got = agg.read_partials(tier).toPandas().sort_values(
+            ["event_type", "bucket_ts"]).reset_index(drop=True)
+        want = full[tier].toPandas().sort_values(
+            ["event_type", "bucket_ts"]).reset_index(drop=True)
+        assert len(got) == len(want), tier
+        for c in ("cnt", "s1", "s2", "vmin", "vmax"):
+            assert (got[c].values == want[c].values).all(), (tier, c)
+
+    # replaying an applied batch id is a no-op
+    before = agg.read_partials("1m").agg(F.sum("cnt")).first()[0]
+    sink(ev, batch_id=sorted(sink._applied())[0])
+    after = agg.read_partials("1m").agg(F.sum("cnt")).first()[0]
+    assert before == after
+
+
+def test_token_heavy_hitters_exact(spark):
+    """Per-key heavy hitters: exact counts/ranks vs a pandas recompute,
+    deterministic tie-break on token id."""
+    from mtsad_spark.operators.rollup import token_heavy_hitters
+
+    rows = [
+        ("a", [1, 1, 1, 2, 2, 3, 7, 7, 7, 7]),
+        ("a", [2, 2, 3, 3]),
+        ("b", [5, 5, 6]),
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    out = (
+        token_heavy_hitters(df, ["source"], "tokens", k=3)
+        .toPandas().sort_values(["source", "rank"]).reset_index(drop=True)
+    )
+    # a: 7×4, 2×4 (tie → smaller token first... counts: 1:3, 2:4, 3:3, 7:4)
+    a = out[out["source"] == "a"]
+    assert list(a["token"]) == [2, 7, 1]  # cnt 4,4 (tie→2 first), then 1 vs 3 tie→1
+    assert list(a["cnt"]) == [4, 4, 3]
+    assert list(a["rank"]) == [1, 2, 3]
+    assert abs(a["support"].iloc[0] - 4 / 14) < 1e-12
+    b = out[out["source"] == "b"]
+    assert list(b["token"]) == [5, 6] and list(b["cnt"]) == [2, 1]

@@ -213,6 +213,13 @@ loops, no collects); nothing in the job is specific to any level.
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(md)
+    # a 1.536B-row input is ~20 GB; auto-created workdirs accumulated across
+    # rounds until the disk filled mid-run (r5) — drop ours unless the caller
+    # pinned BENCH_WORKDIR for reuse
+    if "BENCH_WORKDIR" not in os.environ:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
     if not same_hashes:
         sys.exit(2)
 
