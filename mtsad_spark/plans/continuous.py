@@ -128,3 +128,34 @@ class ContinuousAggregate:
     def read(self, tier: str) -> DataFrame:
         """User-facing rollup points for one tier."""
         return finalize(self.read_partials(tier), self.keys, tier)
+
+    def range_query(self, t0, t1) -> DataFrame:
+        """Tier-stitched aggregate over [t0, t1) against the STORED tables —
+        the continuous-aggregate read path end-to-end: full days from the
+        1d table, edge hours from 1h, edge minutes from 1m, each scan
+        PARTITION-PRUNED by the _day layout (the bucket_ts predicate alone
+        would not prune — _day is the partition column, so the day bounds
+        derived from the tiling are pushed explicitly). A query over years
+        of a 10^12-row table opens only the edge days' fine-tier files plus
+        the 1d files in range (asserted via inputFiles in
+        tests/test_continuous.py)."""
+        import datetime as _dt
+
+        from mtsad_spark.operators.rollup import (
+            range_tiles,
+            stitched_range_aggregate,
+        )
+
+        tiles = range_tiles(t0, t1)
+        frames = {}
+        for tier, spans in tiles.items():
+            if not spans:
+                continue
+            lo = min(s[0] for s in spans).date()
+            hi = (max(s[1] for s in spans) - _dt.timedelta(seconds=1)).date()
+            frames[tier] = (
+                self.spark.read.parquet(self._path(tier))
+                .filter((F.col("_day") >= F.lit(lo)) & (F.col("_day") <= F.lit(hi)))
+                .select(*self.keys, "bucket_ts", *PARTIAL_COLS)
+            )
+        return stitched_range_aggregate(frames, self.keys, t0, t1)

@@ -185,3 +185,46 @@ def test_ngram_contamination_finds_planted_overlap(spark):
     assert capped.count() == 0
     uncapped = ngram_contamination(boiler, h2, "doc_id", "tokens", n=13)
     assert uncapped.count() == 5
+
+
+def test_range_query_on_stored_tables_prunes_partitions(spark, events, tmp_path):
+    """The stored-table read path: stitched [t0, t1) against the CA tables
+    must (a) equal the direct raw aggregation and (b) PRUNE day partitions —
+    the 1m/1h scans may only open the edge days' files, never the whole
+    table (the 100-TB reason the tiling exists)."""
+    import datetime as dt
+
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+
+    ev = events.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    ca = ContinuousAggregate(spark, str(tmp_path / "ca"), ["event_type"], "ts", "cents")
+    ca.refresh(ev)
+
+    t0 = dt.datetime(2024, 1, 5, 7, 13)
+    t1 = dt.datetime(2024, 1, 25, 18, 47)
+    got = (
+        ca.range_query(t0, t1)
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    direct = (
+        ev.filter((F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1)))
+        .groupBy("event_type")
+        .agg(F.count("cents").alias("cnt"), F.sum("cents").alias("sum_v"),
+             F.min("cents").alias("vmin"), F.max("cents").alias("vmax"))
+        .toPandas().sort_values("event_type").reset_index(drop=True)
+    )
+    for c in ("cnt", "sum_v", "vmin", "vmax"):
+        assert (got[c].values == direct[c].values).all(), c
+
+    # pruning evidence: every tier scan in the stitched plan must carry the
+    # day bounds as PARTITION filters (inputFiles() ignores predicates, so
+    # read the physical plan — PartitionFilters is what the FileIndex prunes
+    # directories with at scale)
+    plan_df = ca.range_query(t0, t1)
+    plan = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "formatted"
+    )
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert len(pf_lines) == 3, f"expected 3 tier scans: {pf_lines}"
+    for l in pf_lines:
+        assert "_day" in l and ">=" in l and "<=" in l, f"unpruned scan: {l}"
