@@ -3542,6 +3542,37 @@ def _heavy_hitters_sql() -> str:
     """
 
 
+def _zorder_sql(bits: int = 21) -> str:
+    expr = " + ".join(
+        f"(((a >> {j}) & 1) << {2 * j}) + (((b >> {j}) & 1) << {2 * j + 1})"
+        for j in range(bits)
+    )
+    return f"""
+    WITH m AS (SELECT event_id,
+                      event_id % {1 << bits} AS a,
+                      user_id % {1 << bits} AS b
+               FROM events)
+    SELECT event_id, CAST({expr} AS BIGINT) AS z FROM m
+    """
+
+
+@_q("zorder_key_events", _zorder_sql())
+def zorder_key_events(spark, sf_dir):
+    """Z-order (Morton) clustering key (sources/tables.zorder_key — the
+    Delta/Iceberg OPTIMIZE ZORDER idea as a deterministic column
+    expression): 21-bit interleave of (event_id, user_id), the multi-column
+    file-skipping axis linear range clustering can't provide. Exact integer
+    bit algebra — bitwise cross-engine."""
+    from mtsad_spark.sources.tables import zorder_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % (1 << 21)).alias("a"),
+        (F.col("user_id") % (1 << 21)).alias("b"),
+    )
+    return ev.select("event_id", zorder_key("a", "b").alias("z"))
+
+
 @_q("token_heavy_hitters_seqfix", _heavy_hitters_sql())
 def token_heavy_hitters_seqfix(spark, sf_dir):
     """Per-source heavy-hitter tokens (operators/rollup.token_heavy_hitters):
@@ -3578,6 +3609,7 @@ _PRIORITY = [
     "hash_sample_events",
     "ngram_contamination_seqfix",
     "token_heavy_hitters_seqfix",
+    "zorder_key_events",
     # (a) the four r4 hash-fails, now CAST to BIGINT oracle-side (VERDICT r04
     # #1) — flipping these green closes A9/A15/J4/A16/S10 + the packing op
     "prf_rounded3",
@@ -3632,7 +3664,6 @@ _PRIORITY = [
     "props_json_extract",
     "docs_quality",
     "docs_fingerprint",
-    "docs_token_stats_by_source",
 ]
 _REG = {
     **{k: _REG[k] for k in _PRIORITY if k in _REG},

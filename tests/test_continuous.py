@@ -228,3 +228,98 @@ def test_range_query_on_stored_tables_prunes_partitions(spark, events, tmp_path)
     assert len(pf_lines) == 3, f"expected 3 tier scans: {pf_lines}"
     for l in pf_lines:
         assert "_day" in l and ">=" in l and "<=" in l, f"unpruned scan: {l}"
+
+
+def test_zorder_key_interleaves_and_localizes(spark):
+    """(a) the key equals a python bit-interleave recompute; (b) chunking a
+    2-D grid by z-order gives every chunk a bbox covering ~1/chunks of the
+    AREA (both dims narrow), where a linear sort leaves dim-2 spanning the
+    full range in every chunk — the file-skipping property the key exists
+    for."""
+    import pandas as pd
+
+    from mtsad_spark.sources.tables import zorder_key
+
+    side = 64  # 64×64 grid
+    grid = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"), (F.col("id") / side).cast("long").alias("y")
+    )
+    got = grid.select("x", "y", zorder_key("x", "y", bits=6).alias("z")).toPandas()
+
+    def interleave(x, y, bits=6):
+        z = 0
+        for j in range(bits):
+            z |= ((x >> j) & 1) << (2 * j)
+            z |= ((y >> j) & 1) << (2 * j + 1)
+        return z
+
+    want = [interleave(x, y) for x, y in zip(got["x"], got["y"])]
+    assert list(got["z"]) == want
+    assert got["z"].nunique() == side * side  # bijective on the grid
+
+    n_chunks = 16
+    df = got.sort_values("z").reset_index(drop=True)
+    df["chunk"] = df.index * n_chunks // len(df)
+    spans = df.groupby("chunk").agg(
+        xa=("x", "min"), xb=("x", "max"), ya=("y", "min"), yb=("y", "max")
+    )
+    areas = (spans["xb"] - spans["xa"] + 1) * (spans["yb"] - spans["ya"] + 1)
+    # perfect quad-tree chunks would be side²/16 each; allow 2× slop
+    assert areas.max() <= side * side / n_chunks * 2, areas.max()
+    # linear sort on x: every chunk's y-range spans the whole side
+    lin = got.sort_values(["x", "y"]).reset_index(drop=True)
+    lin["chunk"] = lin.index * n_chunks // len(lin)
+    lspans = lin.groupby("chunk").agg(ya=("y", "min"), yb=("y", "max"))
+    assert ((lspans["yb"] - lspans["ya"] + 1) == side).all()
+
+
+def test_streaming_heavy_hitters_misra_gries_guarantees(spark, tmp_path):
+    """MG streaming summary: after an availableNow drain over several
+    micro-batches, for each key (a) every token with true count > err is
+    present, (b) every estimate under-counts by at most err, and
+    (c) err ≤ n/(m+1) — the classic MG guarantee, maintained across batch
+    boundaries by the mergeable-summaries combine."""
+    import numpy as np
+    import pandas as pd
+
+    from mtsad_spark.streaming.heavy_hitters_stream import streaming_heavy_hitters
+
+    rng = np.random.RandomState(7)
+    # skewed stream: a few heavy tokens + a long uniform tail
+    heavy = rng.choice([1, 2, 3], size=3000, p=[0.5, 0.3, 0.2])
+    tail = rng.randint(100, 5000, size=3000)
+    toks = np.concatenate([heavy, tail])
+    rng.shuffle(toks)
+    rows = [
+        ("web", [int(t) for t in toks[i : i + 50]]) for i in range(0, len(toks), 50)
+    ]
+    df = spark.createDataFrame(rows, "source string, tokens array<long>")
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        streaming_heavy_hitters(stream, m=32)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    final = out[out["n_total"] == out["n_total"].max()]
+    assert final["n_total"].iloc[0] == len(toks)
+    err = final["err"].iloc[0]
+    assert err <= len(toks) // (32 + 1)
+    true = pd.Series(toks).value_counts()
+    est = dict(zip(final["token"], final["est_count"]))
+    for t, c in true.items():
+        if c > err:
+            assert t in est, f"token {t} (count {c} > err {err}) missing"
+        if t in est:
+            assert est[t] <= c and c - est[t] <= err, (t, c, est[t], err)

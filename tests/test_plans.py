@@ -346,3 +346,45 @@ def test_scoped_persists_release_at_query_boundary(spark, events):
         for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
         if r.id() not in pre
     ), "no operator-scoped blocks may survive the query boundary"
+
+
+def test_contamination_and_sampler_plans_are_scale_clean(spark):
+    """r5 additions under the same static-plan bans: the n-gram contamination
+    join must be a bucket-local equi-join (no cartesian/nested-loop, no
+    broadcast hints — the n-gram frames are corpus-proportional), and the
+    hash sampler must never window raw rows by the bare key."""
+    from mtsad_spark.operators.dedup import ngram_contamination
+    from mtsad_spark.operators.splits import hash_ranked_sample
+
+    seq = spark.createDataFrame(
+        [("d%d" % i, list(range(i, i + 30))) for i in range(50)],
+        "doc_id string, tokens array<int>",
+    )
+    hold = seq.limit(5).select(
+        F.concat(F.lit("e-"), "doc_id").alias("doc_id"), "tokens"
+    )
+    q = ngram_contamination(seq, hold, "doc_id", "tokens", n=13, df_cap=100)
+    p = plan_of(q)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "ResolvedHint" not in q._jdf.queryExecution().analyzed().toString()
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    s = hash_ranked_sample(
+        ev.select("event_type", "event_id"), ["event_type"], "event_id", k=10
+    )
+    # the keys-only window must run over the (keys, _hb) COUNT frame, and the
+    # raw-row window must carry the hash bucket in its partition spec
+    tree = s._jdf.queryExecution().optimizedPlan().toString()
+    for i, line in enumerate(tree.splitlines()):
+        if "Window [" not in line:
+            continue
+        spec = line.split("], [")[1]
+        if "_hb#" in spec:
+            continue  # (keys, hash-bucket) local rank — parallel
+        lines = tree.splitlines()
+        child = next(
+            (b for b in lines[i + 1 :] if " Sort [" not in b and "Exchange " not in b),
+            "",
+        )
+        assert "Aggregate" in child, f"bare-key window over raw rows:\n{line}"
