@@ -137,8 +137,14 @@ class ContinuousAggregate:
         would not prune — _day is the partition column, so the day bounds
         derived from the tiling are pushed explicitly). A query over years
         of a 10^12-row table opens only the edge days' fine-tier files plus
-        the 1d files in range (asserted via inputFiles in
-        tests/test_continuous.py)."""
+        the 1d files in range (PartitionFilters asserted in
+        tests/test_continuous.py).
+
+        Retention interplay: after drop_partitions_before expires a fine
+        tier's old days, range endpoints inside the expired region lose
+        their minute/hour edge tiles (standard retention-ladder semantics —
+        align endpoints to the coarsest surviving tier for aged ranges;
+        tested in test_continuous_aggregate_full_lifecycle)."""
         import datetime as _dt
 
         from mtsad_spark.operators.rollup import (

@@ -323,3 +323,47 @@ def test_streaming_heavy_hitters_misra_gries_guarantees(spark, tmp_path):
             assert t in est, f"token {t} (count {c} > err {err}) missing"
         if t in est:
             assert est[t] <= c and c - est[t] <= err, (t, c, est[t], err)
+
+
+def test_continuous_aggregate_full_lifecycle(spark, events, tmp_path):
+    """The whole tier-engine story on one table: incremental ingest →
+    stitched range query over the stored tiers → retention drop of expired
+    1m day-partitions (metadata-only) → range queries still correct wherever
+    the surviving tiers cover them."""
+    import datetime as dt
+
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+    from mtsad_spark.sources.tables import TableProvider
+
+    ev = events.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    ca = ContinuousAggregate(spark, str(tmp_path / "ca"), ["event_type"], "ts", "cents")
+    ca.refresh(ev.filter(F.col("ts") < F.lit(dt.datetime(2024, 1, 15))))
+    ca.refresh(ev.filter(F.col("ts") >= F.lit(dt.datetime(2024, 1, 15))))
+
+    t0, t1 = dt.datetime(2024, 1, 12, 6, 30), dt.datetime(2024, 1, 20, 17, 45)
+    got = ca.range_query(t0, t1).toPandas().sort_values("event_type")
+    direct = (
+        ev.filter((F.col("ts") >= F.lit(t0)) & (F.col("ts") < F.lit(t1)))
+        .groupBy("event_type").agg(F.count("cents").alias("cnt"))
+        .toPandas().sort_values("event_type")
+    )
+    assert list(got["cnt"]) == list(direct["cnt"])
+
+    # retention: expire the 1m tier before Jan 10 (the fine tier ages out
+    # first in a real retention ladder; 1h/1d keep the history)
+    tp = TableProvider(spark, str(tmp_path / "ca"))
+    res = tp.drop_partitions_before("agg_1m", "_day", "2024-01-10")
+    assert len(res["dropped"]) == 9 and len(res["kept"]) == 21
+
+    # ranges whose minute-edges fall inside the surviving window still work
+    got2 = ca.range_query(dt.datetime(2024, 1, 12, 6, 30), t1).toPandas()
+    assert list(got2.sort_values("event_type")["cnt"]) == list(direct["cnt"])
+    # day-aligned ranges in the expired region need no 1m data at all
+    t0d = dt.datetime(2024, 1, 3)
+    got3 = ca.range_query(t0d, dt.datetime(2024, 1, 8)).toPandas()
+    direct3 = (
+        ev.filter((F.col("ts") >= F.lit(t0d)) & (F.col("ts") < F.lit(dt.datetime(2024, 1, 8))))
+        .groupBy("event_type").agg(F.count("cents").alias("cnt"))
+        .toPandas()
+    )
+    assert sorted(got3["cnt"]) == sorted(direct3["cnt"])
