@@ -439,6 +439,11 @@ def ngram_contamination(
         F.col(id_col).alias("holdout_id"), "ngram_key"
     )
     if df_cap is not None:
+        from mtsad_spark.plans.scope import scoped_persist
+
+        # tg feeds BOTH the doc-frequency aggregate and the candidate join —
+        # persist or the corpus-wide explode/hash/distinct runs twice
+        tg = scoped_persist(tg)
         ok = (
             tg.groupBy("ngram_key")
             .agg(F.count(F.lit(1)).alias("_df"))

@@ -377,7 +377,9 @@ def range_tiles(t0, t1) -> dict[str, list[tuple]]:
     if t0 >= t1:
         raise ValueError(f"empty range: {t0} >= {t1}")
     for t in (t0, t1):
-        if int(t.timestamp()) % 60 or t.microsecond:
+        # naive wall-clock arithmetic, like the tiling itself — .timestamp()
+        # would inject the host timezone into the alignment check
+        if t.second or t.microsecond:
             raise ValueError(f"range endpoints must be minute-aligned, got {t}")
     tiles: dict[str, list[tuple]] = {"1m": [], "1h": [], "1d": []}
 
@@ -478,10 +480,13 @@ def token_heavy_hitters(
     cross-engine."""
     tok = df.select(*keys, F.explode(F.col(tokens_col)).alias("token"))
     cnt = tok.groupBy(*keys, "token").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tok.groupBy(*keys).agg(F.count(F.lit(1)).alias("_total"))
+    # total = sum of cnt over the ALREADY vocab-bounded count frame — never a
+    # second explode of the raw token stream (code-review r5: the tok frame
+    # would otherwise be scanned twice and joined)
+    wt = Window.partitionBy(*keys)
     w = Window.partitionBy(*keys).orderBy(F.col("cnt").desc(), F.col("token"))
     ranked = (
-        cnt.join(total, keys)
+        cnt.withColumn("_total", F.sum("cnt").over(wt))
         .withColumn("rank", F.row_number().over(w))
         .withColumn("support", F.col("cnt").cast("double") / F.col("_total"))
     )

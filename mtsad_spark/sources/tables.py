@@ -116,26 +116,55 @@ class TableProvider:
             full = f"{self.catalog}.{name}"
             # verify the partition spec actually contains partition_col —
             # otherwise DELETE degrades to a row-level rewrite (or a no-op
-            # typo) and the "metadata-only" promise is silently broken
-            part_cols, in_part = [], False
+            # typo) and the "metadata-only" promise is silently broken.
+            # DESCRIBE output differs by path (code-review r5): the Hive
+            # format lists column NAMES under '# Partition Information';
+            # DSv2/Iceberg lists 'Part N' rows whose data_type holds the
+            # TRANSFORM (e.g. 'days(ts)', 'ts') — match the column name
+            # inside the transform expression there.
+            import re as _re
+
+            part_exprs, in_part = [], False
             for row in self.spark.sql(f"DESCRIBE TABLE {full}").collect():
                 col = (row.col_name or "").strip()
-                if col.startswith("# Partition"):
+                if col.startswith("# Partition"):  # both section spellings
                     in_part = True
-                elif in_part and col and not col.startswith("#"):
-                    part_cols.append(col)
-            if partition_col not in part_cols:
+                elif col.startswith("# col_name") or not col:
+                    continue  # Hive sub-header / blank separators
+                elif col.startswith("#"):
+                    in_part = False  # next section
+                elif in_part:
+                    dt_val = (getattr(row, "data_type", "") or "").strip()
+                    part_exprs.append(dt_val if col.startswith("Part ") else col)
+            hit = any(
+                _re.search(rf"(^|\b){_re.escape(partition_col)}\b", e)
+                for e in part_exprs
+            )
+            if not hit:
                 raise ValueError(
                     f"iceberg table {full!r} is not partitioned by "
-                    f"{partition_col!r} (partition spec: {part_cols}); "
+                    f"{partition_col!r} (partition spec: {part_exprs}); "
                     "retention needs a partition on the retention column"
                 )
-            vals = [
-                str(r[0])
-                for r in self.spark.sql(
-                    f"SELECT DISTINCT {partition_col} FROM {full}"
-                ).collect()
-            ]
+            # enumerate values from the PARTITIONS METADATA table (manifest
+            # read), not a corpus-proportional DISTINCT over the data; fall
+            # back to the scan only if the metadata schema doesn't expose the
+            # identity field (non-identity transforms)
+            try:
+                vals = [
+                    str(r[0])
+                    for r in self.spark.sql(
+                        f"SELECT DISTINCT partition.{partition_col} "
+                        f"FROM {full}.partitions"
+                    ).collect()
+                ]
+            except Exception:
+                vals = [
+                    str(r[0])
+                    for r in self.spark.sql(
+                        f"SELECT DISTINCT {partition_col} FROM {full}"
+                    ).collect()
+                ]
             dropped = sorted(v for v in vals if v < cutoff)
             kept = sorted(v for v in vals if v >= cutoff)
             self.spark.sql(

@@ -283,3 +283,26 @@ def test_token_heavy_hitters_exact(spark):
     assert abs(a["support"].iloc[0] - 4 / 14) < 1e-12
     b = out[out["source"] == "b"]
     assert list(b["token"]) == [5, 6] and list(b["cnt"]) == [2, 1]
+
+
+def test_streaming_continuous_aggregate_rejects_foreign_checkpoint(spark, tmp_path):
+    """Batch ids are only unique PER checkpoint: a fresh checkpoint (ids
+    restart at 0) pointed at an existing table must be refused loudly, not
+    silently dedup real batches against the old stream's ids."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+    from mtsad_spark.streaming.continuous_stream import StreamingContinuousAggregate
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .select("event_type", "ts", "cents")
+    )
+    agg = ContinuousAggregate(spark, str(tmp_path / "ca"), ["event_type"], "ts", "cents")
+    sink = StreamingContinuousAggregate(agg, checkpoint=str(tmp_path / "ck1"))
+    sink(ev, batch_id=0)
+    sink2 = StreamingContinuousAggregate(agg, checkpoint=str(tmp_path / "ck2"))
+    with _pytest.raises(ValueError, match="checkpoint"):
+        sink2(ev, batch_id=0)

@@ -64,7 +64,9 @@ def oracle_type_guard(rel) -> str | None:
     bad = [
         f"{c}:{t}"
         for c, t in zip(rel.columns, [str(t).upper() for t in rel.types])
-        if "HUGEINT" in t or "DECIMAL" in t or "UTINYINT" in t or "UINTEGER" in t
+        if "HUGEINT" in t
+        or "DECIMAL" in t
+        or t in ("UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
     ]
     if bad:
         return f"oracle output types need explicit CAST: {bad}"
@@ -144,13 +146,13 @@ def main():
         try:
             rel = con.sql(osql[name])
             type_err = oracle_type_guard(rel)
+            if type_err:
+                print(f"FAIL  {name}: {type_err}")
+                n_fail += 1
+                continue  # don't materialize a query we already rejected
             ddf = rel.df()
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {str(e)[:200]}")
-            n_fail += 1
-            continue
-        if type_err:
-            print(f"FAIL  {name}: {type_err}")
             n_fail += 1
             continue
         err = compare(sdf, ddf)
