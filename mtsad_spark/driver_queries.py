@@ -3640,6 +3640,98 @@ def stored_range_query(spark, sf_dir):
     )
 
 
+@_q(
+    "seasonal_residual_1h",
+    """
+    WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
+                   FROM events GROUP BY 1, 2),
+         p AS (SELECT event_type, extract(hour FROM bucket_ts) AS phase,
+                      avg(load) AS profile
+               FROM hload GROUP BY 1, 2)
+    SELECT h.event_type, h.bucket_ts, h.load,
+           CAST(p.phase AS INT) AS phase, p.profile,
+           h.load - p.profile AS residual
+    FROM hload h JOIN p ON h.event_type = p.event_type
+                       AND extract(hour FROM h.bucket_ts) = p.phase
+    """,
+)
+def seasonal_residual_1h(spark, sf_dir):
+    """Seasonal-profile decomposition (operators/stats.
+    seasonal_profile_residual): hour-of-day profile of the hourly cents load
+    per key, residual = load − profile — the rollup-engine seasonal-naive
+    anomaly baseline next to the FFT/HP detrenders. Integer loads make the
+    profile ONE division (avg of longs) and the residual a difference of
+    bitwise-identical doubles — no rounding anywhere."""
+    from mtsad_spark.operators.stats import seasonal_profile_residual
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hload = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("load"))
+    out = seasonal_profile_residual(
+        hload, ["event_type"], "bucket_ts", "load", period_expr="hour"
+    )
+    return out.select("event_type", "bucket_ts", "load", "phase", "profile", "residual")
+
+
+@_q(
+    "counter_rate_1h",
+    """
+    WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                           count(*) AS cnt
+                    FROM events GROUP BY 1, 2),
+         seg AS (SELECT event_type, bucket_ts, cnt,
+                        CAST((row_number() OVER (PARTITION BY event_type
+                                                 ORDER BY bucket_ts) - 1) // 97
+                             AS BIGINT) AS segment
+                 FROM hourly),
+         ctr AS (SELECT event_type, bucket_ts,
+                        CAST(sum(cnt) OVER (PARTITION BY event_type, segment
+                                            ORDER BY bucket_ts) AS BIGINT) AS counter
+                 FROM seg)
+    SELECT event_type, bucket_ts, counter,
+           CAST(CASE WHEN prev IS NULL THEN NULL
+                     WHEN counter >= prev THEN counter - prev
+                     ELSE counter END AS BIGINT) AS increase,
+           CASE WHEN prev IS NULL OR dt <= 0 THEN NULL
+                WHEN counter >= prev THEN (counter - prev) / dt
+                ELSE counter / dt END AS rate
+    FROM (SELECT *, lag(counter) OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev,
+                 date_diff('second',
+                           lag(bucket_ts) OVER (PARTITION BY event_type ORDER BY bucket_ts),
+                           bucket_ts) * 1.0 AS dt
+          FROM ctr)
+    """,
+)
+def counter_rate_1h(spark, sf_dir):
+    """PromQL-style counter rate()/increase() with the reset rule
+    (operators/stats.counter_rate): a monotone counter synthesized as a
+    segmented cumulative event count (restarting every 97 buckets injects
+    deterministic resets at every SF); on a drop the whole new value counts
+    as the increase — the Prometheus restart semantics. Integer counters
+    and exact Δt ⇒ rate is one division, bitwise cross-engine."""
+    from pyspark.sql import Window
+
+    from mtsad_spark.operators.stats import counter_rate
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wseq = Window.partitionBy("event_type").orderBy("bucket_ts")
+    seg = hourly.withColumn(
+        "segment", F.floor((F.row_number().over(wseq) - 1) / 97)
+    )
+    wctr = Window.partitionBy("event_type", "segment").orderBy("bucket_ts")
+    ctr = seg.withColumn("counter", F.sum("cnt").over(wctr)).select(
+        "event_type", "bucket_ts", "counter"
+    )
+    out = counter_rate(ctr, ["event_type"], "bucket_ts", "counter")
+    return out.select("event_type", "bucket_ts", "counter", "increase", "rate")
+
+
 def _zorder_sql(bits: int = 21) -> str:
     expr = " + ".join(
         f"(((a >> {j}) & 1) << {2 * j}) + (((b >> {j}) & 1) << {2 * j + 1})"
@@ -3710,6 +3802,8 @@ _PRIORITY = [
     "zorder_key_events",
     "stored_range_query",
     "minhash_md5_near_dups_docs",
+    "seasonal_residual_1h",
+    "counter_rate_1h",
     # (a) the four r4 hash-fails, now CAST to BIGINT oracle-side (VERDICT r04
     # #1) — flipping these green closes A9/A15/J4/A16/S10 + the packing op
     "prf_rounded3",
@@ -3760,8 +3854,6 @@ _PRIORITY = [
     "top_orders_by_revenue",
     "mktsegment_totals",
     "tpch_q3_style",
-    "tpch_q5_style",
-    "props_json_extract",
 ]
 _REG = {
     **{k: _REG[k] for k in _PRIORITY if k in _REG},

@@ -277,3 +277,59 @@ def sliding_extrema_chunked(
         return out[~out["_halo"]][data_cols + [min_col, max_col]]
 
     return sliced.groupBy(*keys, "_slice").applyInPandas(kernel, schema=out_schema)
+
+
+def seasonal_profile_residual(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    period_expr: str = "hour",
+) -> DataFrame:
+    """Seasonal-profile decomposition on the rollup series (the rollup-engine
+    counterpart of the FFT/HP detrenders in functions/signal.py): per
+    (keys, phase) mean — phase = hour-of-day by default — broadcast back as
+    the seasonal component, residual = value − profile. Classic
+    daily-seasonality anomaly baseline (seasonal-naive): two shuffles total
+    (one phase aggregate over the rollup-sized series, one broadcastable
+    profile join — profiles are keys × period_cardinality rows at any data
+    scale).
+
+    Returns the input columns + ``phase``, ``profile``, ``residual``."""
+    phase = F.extract(F.lit(period_expr), F.col(ts_col)).cast("int").alias("phase")
+    d = df.withColumn("phase", phase)
+    prof = d.groupBy(*keys, "phase").agg(F.avg(val_col).alias("profile"))
+    return d.join(F.broadcast(prof), [*keys, "phase"]).withColumn(
+        "residual", F.col(val_col) - F.col("profile")
+    )
+
+
+def counter_rate(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    counter_col: str,
+    out_col: str = "rate",
+) -> DataFrame:
+    """PromQL-style ``rate()`` over a monotone counter with RESET handling:
+    increase = counter − lag(counter), except when the counter dropped
+    (process restart) the whole new value counts as the increase (the
+    Prometheus reset rule); rate = increase / Δt seconds. First point per
+    key is null (no interval).
+
+    Scale shape: one lag window per key over the ROLLUP-sized series (this
+    op consumes tier points, not raw rows — the same contract as every other
+    post-rollup scorer)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev_c = F.lag(counter_col).over(w)
+    prev_t = F.lag(ts_col).over(w)
+    inc = F.when(F.col(counter_col) >= prev_c, F.col(counter_col) - prev_c).otherwise(
+        F.col(counter_col)  # reset: the counter restarted from ~0
+    )
+    dt = F.col(ts_col).cast("double") - prev_t.cast("double")
+    return df.withColumn("increase", F.when(prev_c.isNotNull(), inc)).withColumn(
+        out_col,
+        F.when(prev_c.isNotNull() & (dt > 0), F.col("increase") / dt),
+    )

@@ -167,3 +167,57 @@ def test_sliding_extrema_chunked_matches_jvm_and_pandas(spark, w, rps):
     for col in ("roll_min", "roll_max"):
         assert (jvm[col].values == want[col].values).all(), (w, rps, col, "jvm")
         assert (chk[col].values == want[col].values).all(), (w, rps, col, "chunked")
+
+
+def test_seasonal_profile_residual_matches_pandas(spark):
+    import pandas as pd
+
+    from mtsad_spark.operators.stats import seasonal_profile_residual
+
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 96 + ["b"] * 96,
+            "ts": list(pd.date_range("2024-03-01", periods=96, freq="h")) * 2,
+            "v": [float((i % 24) * 10 + (i % 7)) for i in range(96)]
+            + [float(100 - (i % 24)) for i in range(96)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        seasonal_profile_residual(df, ["k"], "ts", "v", "hour")
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    pdf["phase"] = pdf["ts"].dt.hour
+    prof = pdf.groupby(["k", "phase"])["v"].mean().rename("profile")
+    want = pdf.join(prof, on=["k", "phase"])
+    want["residual"] = want["v"] - want["profile"]
+    want = want.sort_values(["k", "ts"]).reset_index(drop=True)
+    assert (got["phase"].values == want["phase"].values).all()
+    assert abs(got["profile"].values - want["profile"].values).max() < 1e-12
+    assert abs(got["residual"].values - want["residual"].values).max() < 1e-12
+
+
+def test_counter_rate_handles_resets_like_prometheus(spark):
+    """Crafted counter with a restart: the reset interval's increase is the
+    whole new value (Prometheus rule), rates divide by the true Δt, the
+    first point is null."""
+    import datetime as dt
+
+    from mtsad_spark.operators.stats import counter_rate
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("a", t0, 100),
+        ("a", t0 + dt.timedelta(seconds=60), 160),     # +60 over 60s → 1.0/s
+        ("a", t0 + dt.timedelta(seconds=180), 400),    # +240 over 120s → 2.0/s
+        ("a", t0 + dt.timedelta(seconds=240), 30),     # RESET → increase 30 → 0.5/s
+        ("a", t0 + dt.timedelta(seconds=300), 90),     # +60 → 1.0/s
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, c long")
+    got = (
+        counter_rate(df, ["k"], "ts", "c")
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    assert got["increase"].isna().iloc[0] and got["rate"].isna().iloc[0]
+    assert list(got["increase"].iloc[1:]) == [60, 240, 30, 60]
+    assert list(got["rate"].iloc[1:]) == [1.0, 2.0, 0.5, 1.0]
