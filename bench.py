@@ -189,6 +189,10 @@ def main() -> None:
             out["seq_throughput_at_1536m_rows_per_sec"] = float(m.group(1).replace(",", ""))
     except OSError:
         pass
+    # run-exit hook (ADVICE r05): drain the last query's scoped persists
+    from mtsad_spark.plans.scope import release_scoped
+
+    release_scoped()
     print(json.dumps(out))
 
 

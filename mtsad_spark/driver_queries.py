@@ -33,8 +33,10 @@ def _q(name: str, sql: str | None):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             # query boundary: drop the previous query's operator-scoped
             # persists so a sequential multi-query run never accumulates
-            # blocks (plans/scope.py; VERDICT r04 #3)
-            release_scoped()
+            # blocks (plans/scope.py; VERDICT r04 #3). Scoped to THIS
+            # session: an interleaved second session's blocks stay hot
+            # (VERDICT r05 #3).
+            release_scoped(spark)
             return fn(spark, sf_dir)
 
         _REG[name] = (wrapped, sql)

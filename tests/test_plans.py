@@ -330,7 +330,9 @@ def test_scoped_persists_release_at_query_boundary(spark, events):
         events.limit(200), right, ["event_type"], "ts", "bucket_ts", ["avg_v"]
     )
     out.count()  # consuming action — scoped blocks now live
-    assert len(_LIVE) == 1, "asof_join should register exactly its union frame"
+    assert (
+        sum(len(v) for v in _LIVE.values()) == 1
+    ), "asof_join should register exactly its union frame"
     new = [
         r
         for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
@@ -346,6 +348,33 @@ def test_scoped_persists_release_at_query_boundary(spark, events):
         for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
         if r.id() not in pre
     ), "no operator-scoped blocks may survive the query boundary"
+
+
+def test_scoped_persists_are_session_isolated(spark, events):
+    """VERDICT r05 #3: the scope registry is keyed by SparkSession — one
+    session's query-boundary release (driver_queries._q passes its own
+    session) must leave another live session's scoped blocks hot, so
+    interleaved sessions (bench_scaling-style harnesses) can't cross-release
+    each other's caches and re-pay the ~5× lineage-recompute tax."""
+    from mtsad_spark.plans.scope import _LIVE, release_scoped, scoped_persist
+
+    release_scoped()
+    other = spark.newSession()  # same JVM context, distinct session object
+    a = scoped_persist(
+        spark.createDataFrame([(1, "x")], "id int, v string").filter("id > 0")
+    )
+    b = scoped_persist(
+        other.createDataFrame([(2, "y")], "id int, v string").filter("id > 0")
+    )
+    a.count(), b.count()
+    assert sum(len(v) for v in _LIVE.values()) == 2 and len(_LIVE) == 2
+    # what _q does on entry in session `other`: releases ONLY other's frames
+    assert release_scoped(other) == 1
+    assert a.storageLevel.useMemory, "session A's block was cross-released"
+    assert not b.storageLevel.useMemory
+    # run-exit hook (no session arg): everything else drains
+    assert release_scoped() == 1
+    assert not a.storageLevel.useMemory and not _LIVE
 
 
 def test_contamination_and_sampler_plans_are_scale_clean(spark):

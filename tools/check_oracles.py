@@ -162,6 +162,11 @@ def main():
         else:
             print(f"ok    {name}: {len(sdf)} rows")
             n_pass += 1
+    # run-exit hook (ADVICE r05): the LAST query's scoped persists must not
+    # outlive the run — clearCache drops blocks but not registry entries
+    from mtsad_spark.plans.scope import release_scoped
+
+    release_scoped()
     print(f"\n{n_pass} ok, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
 
