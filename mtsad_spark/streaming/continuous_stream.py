@@ -5,24 +5,27 @@
 that need merge semantics Spark's append/update modes can't express: each
 micro-batch is handed to plans/continuous.ContinuousAggregate.refresh, which
 partial-merges it into the stored 1m/1h/1d tables (partition-pruned read +
-dynamic-partition overwrite — at production scale an Iceberg MERGE INTO).
+dynamic-partition overwrite).
 
 Delivery semantics — stated honestly (code-review r5): refresh is NOT
 idempotent per batch (a replayed batch would double-merge), so the sink
-skips batch ids it has already applied. Because the applied-ids marker and
+skips batch ids it has already applied. Because the applied-id marker and
 the multi-tier table writes are SEPARATE non-transactional writes, a crash
 BETWEEN the first tier write and the marker can still double-merge that one
 batch on restart — the parquet backend is therefore at-least-once with
-replay-skip, not exactly-once. True exactly-once needs the production
-Iceberg path, where the merge and the batch id land in ONE snapshot commit
-(MERGE INTO + snapshot summary property), or a rebuild from raw after an
-unclean stop. Applied ids are scoped to the stream's checkpoint location,
-so pointing a FRESH checkpoint (batch ids restart at 0) at an existing
-table is detected rather than silently skipping real batches.
+replay-skip, not exactly-once. True exactly-once is the Iceberg branch
+below (:class:`IcebergStreamingContinuousAggregate`): each tier's merged
+partials AND the batch id land in ONE Iceberg snapshot commit
+(``overwritePartitions`` + a ``snapshot-property.`` write option), so a
+replayed batch skips exactly the tiers whose commit landed and re-applies
+the rest — no marker file, no crash window. Applied ids are scoped to the
+stream's checkpoint location, so pointing a FRESH checkpoint (batch ids
+restart at 0) at an existing table is detected rather than silently
+skipping real batches.
 
 Because LONG partials merge associatively, the streamed result is
 bitwise-equal to one batch rebuild over the same rows — asserted in
-tests/test_streaming.py (stream ≡ batch ≡ incremental).
+tests/test_streaming.py (stream ≡ batch ≡ incremental, both branches).
 """
 
 from __future__ import annotations
@@ -30,14 +33,16 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from mtsad_spark.plans.continuous import ContinuousAggregate
 
 
 class StreamingContinuousAggregate:
-    """foreachBatch sink wrapping ContinuousAggregate.refresh."""
+    """foreachBatch sink wrapping ContinuousAggregate.refresh (parquet
+    backend: at-least-once with replay-skip; see module docstring)."""
 
     def __init__(self, agg: ContinuousAggregate, checkpoint: str = "default"):
         self.agg = agg
@@ -47,10 +52,22 @@ class StreamingContinuousAggregate:
     def _state(self) -> dict:
         if os.path.exists(self._applied_path):
             with open(self._applied_path) as f:
-                return json.load(f)
-        return {"checkpoint": self.checkpoint, "ids": []}
+                st = json.load(f)
+            if "ids" in st:  # pre-r6 ledger stored the full id list
+                st = {
+                    "checkpoint": st["checkpoint"],
+                    "last": max(st["ids"]) if st["ids"] else -1,
+                }
+            return st
+        return {"checkpoint": self.checkpoint, "last": -1}
 
-    def _applied(self) -> set[int]:
+    def _last(self) -> int:
+        """Max applied batch id (-1 if none). foreachBatch ids are
+        monotonically increasing per checkpoint and only the LAST batch can
+        replay after a crash, so the applied set is always the contiguous
+        prefix [0, last] — storing one integer replaces the unbounded id
+        list the r5 ledger re-read and rewrote per batch (ADVICE r05:
+        O(batches²) I/O on long-lived streams)."""
         st = self._state()
         if st["checkpoint"] != self.checkpoint:
             # a DIFFERENT stream (fresh checkpoint, batch ids restart at 0)
@@ -63,17 +80,21 @@ class StreamingContinuousAggregate:
                 f"checkpoint {self.checkpoint!r} — rebuild the table or "
                 "resume the original checkpoint"
             )
-        return set(st["ids"])
+        return st["last"]
+
+    def _applied(self) -> set[int]:
+        """Compat view of the applied-id set (tests / callers); O(last)."""
+        return set(range(self._last() + 1))
 
     def _mark(self, batch_id: int) -> None:
-        done = sorted(self._applied() | {batch_id})
+        last = max(self._last(), batch_id)
         tmp = self._applied_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"checkpoint": self.checkpoint, "ids": done}, f)
+            json.dump({"checkpoint": self.checkpoint, "last": last}, f)
         os.replace(tmp, self._applied_path)  # atomic on POSIX
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        if batch_id in self._applied():
+        if batch_id <= self._last():
             return  # replayed micro-batch: the merge already landed
         self.agg.refresh(batch)
         self._mark(batch_id)
@@ -88,3 +109,140 @@ class StreamingContinuousAggregate:
         if trigger_available_now:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+BATCH_ID_PROP = "mtsad.batch-id"
+
+
+class IcebergTierIO:
+    """Catalog I/O seam for the exactly-once branch — every call is public
+    Iceberg-on-Spark surface (DataFrameWriterV2 + the ``.snapshots``
+    metadata table), isolated here so tests can substitute an in-memory
+    fake (no Iceberg runtime ships in this sandbox) while exercising the
+    sink's commit/replay logic unchanged.
+
+    * ``overwrite_partitions`` commits the merged day-partitions AND the
+      batch id in ONE snapshot: Iceberg's writer propagates
+      ``option("snapshot-property.<k>", v)`` into the snapshot summary of
+      that same commit (public Iceberg spark-writes surface).
+    * ``last_batch_id`` reads the newest snapshot's summary back from the
+      ``<table>.snapshots`` metadata table — a manifest read, never a data
+      scan.
+    """
+
+    def __init__(self, spark: SparkSession, table_prefix: str):
+        self.spark = spark
+        self.prefix = table_prefix  # e.g. "catalog.db.metrics"
+
+    def table(self, tier: str) -> str:
+        return f"{self.prefix}_agg_{tier}"
+
+    def exists(self, tier: str) -> bool:
+        return self.spark.catalog.tableExists(self.table(tier))
+
+    def read(self, tier: str) -> DataFrame:
+        return self.spark.read.table(self.table(tier))
+
+    def overwrite_partitions(self, df: DataFrame, tier: str, batch_id: int) -> None:
+        w = df.writeTo(self.table(tier)).option(
+            f"snapshot-property.{BATCH_ID_PROP}", str(batch_id)
+        )
+        if self.exists(tier):
+            w.overwritePartitions()  # dynamic: only _day values present in df
+        else:
+            w.partitionedBy(F.col("_day")).create()
+
+    def last_batch_id(self, tier: str) -> int | None:
+        if not self.exists(tier):
+            return None
+        rows = self.spark.sql(
+            f"SELECT summary['{BATCH_ID_PROP}'] AS bid FROM "
+            f"{self.table(tier)}.snapshots ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        if not rows or rows[0].bid is None:
+            return None
+        return int(rows[0].bid)
+
+
+class IcebergStreamingContinuousAggregate:
+    """foreachBatch sink with EXACTLY-ONCE tier maintenance on an Iceberg
+    catalog: per tier, the merged partials and the applied batch id are one
+    snapshot-atomic ``overwritePartitions`` commit, and the replay guard
+    reads the id back from that tier's newest snapshot. A crash between
+    tier commits re-delivers the batch; tiers whose snapshot already
+    carries the id skip, the rest apply — each tier merges each batch
+    exactly once, with no separate marker write and no crash window
+    (VERDICT r05 #8).
+
+    Same merge algebra as plans/continuous.ContinuousAggregate.refresh
+    (associative LONG partials; N streamed batches ≡ one rebuild, bitwise).
+    Iceberg's snapshot isolation makes the read-merge-overwrite safe
+    without the parquet path's localCheckpoint barrier: the read plan pins
+    the pre-commit snapshot.
+    """
+
+    def __init__(
+        self,
+        io: IcebergTierIO,
+        keys: list[str],
+        ts_col: str,
+        val_col: str,
+        exact_int: bool = True,
+    ):
+        self.io = io
+        self.keys = keys
+        self.ts_col = ts_col
+        self.val_col = val_col
+        self.exact_int = exact_int
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        from mtsad_spark.operators.rollup import (
+            PARTIAL_COLS,
+            TIER_ORDER,
+            merge_partials,
+            reaggregate,
+            rollup_partials,
+        )
+
+        new = {
+            "1m": rollup_partials(
+                batch, self.ts_col, self.val_col, self.keys, "1m",
+                exact_int=self.exact_int,
+            )
+        }
+        new["1h"] = reaggregate(new["1m"], self.keys, "1h")
+        new["1d"] = reaggregate(new["1h"], self.keys, "1d")
+        for tier in TIER_ORDER:
+            last = self.io.last_batch_id(tier)
+            if last is not None and batch_id <= last:
+                continue  # this tier's snapshot already carries the batch
+            n = new[tier].persist()
+            try:
+                days = [
+                    r[0]
+                    for r in n.select(F.to_date("bucket_ts")).distinct().collect()
+                ]
+                if self.io.exists(tier):
+                    stored = (
+                        self.io.read(tier)
+                        .filter(F.col("_day").isin(days))  # partition-pruned
+                        .select(*self.keys, "bucket_ts", *PARTIAL_COLS)
+                    )
+                    merged = merge_partials(stored, n, self.keys, tier)
+                else:
+                    merged = n
+                self.io.overwrite_partitions(
+                    merged.withColumn("_day", F.to_date("bucket_ts")),
+                    tier,
+                    batch_id,
+                )
+            finally:
+                n.unpersist()
+
+    def start(self, stream: DataFrame, checkpoint: str) -> StreamingQuery:
+        return (
+            stream.writeStream.foreachBatch(self)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
