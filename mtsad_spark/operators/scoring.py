@@ -39,6 +39,8 @@ import math
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from mtsad_spark.operators.stats import fit_join
 from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
 from ..functions.metrics import prf  # noqa: F401  (re-exported convenience)
@@ -297,10 +299,7 @@ def percentile_threshold(
 
 def apply_threshold(df: DataFrame, score_col: str, threshold_df: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """Attach ±1 predicted tag by broadcast-joining the (tiny) threshold table."""
-    if keys:
-        joined = df.join(F.broadcast(threshold_df), keys, "left")
-    else:
-        joined = df.crossJoin(F.broadcast(threshold_df))
+    joined = fit_join(df, threshold_df, keys or [], "left")
     return joined.withColumn(
         "tag_pred",
         F.when(F.col(score_col) > F.col("threshold"), F.lit(1)).otherwise(F.lit(-1)),
@@ -337,7 +336,7 @@ def threshold_sweep(
         )
         .select(*keys, F.col("_z.q").alias("q"), F.col("_z.threshold").alias("threshold"))
     )
-    joined = df.join(F.broadcast(th), keys, "inner") if keys else df.crossJoin(F.broadcast(th))
+    joined = fit_join(df, th, keys, "inner")
     pred = F.when(F.col(score_col) > F.col("threshold"), 1).otherwise(-1)
     truth = F.col(truth_col)
     from ..functions.metrics import with_prf_columns

@@ -30,6 +30,22 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fit_join(df: DataFrame, fit: DataFrame, on: list[str], how: str = "left") -> DataFrame:
+    """Attach a fitted per-key frame (σ/μ/min-max/percentile/profile rows)
+    WITHOUT a broadcast hint (VERDICT r05 #4): fit frames are
+    KEY-proportional — one row per key group (× period/q cardinality for
+    profiles and sweeps) — so a forced ``F.broadcast`` bypasses AQE's size
+    check and fails outright at 10⁶+ keys instead of degrading to a shuffle
+    join. Hint-free, runtime stats/AQE choose broadcast whenever the fit
+    side actually fits (plan-asserted at fixture scale in
+    tests/test_plans.py::test_fit_joins_broadcast_via_aqe_without_hints) and
+    a shuffle join otherwise. Keyless fits are a single global row — there
+    the broadcast hint is tautologically safe and kept."""
+    if not on:
+        return df.crossJoin(F.broadcast(fit))
+    return df.join(fit, on, how)
+
+
 def moving_average_same(
     df: DataFrame, keys: list[str], order_col: str, val_col: str, w: int, out_col: str = "ma"
 ) -> DataFrame:
@@ -51,11 +67,7 @@ def sigma_rule_stationary(
     # row of a hot key through one task at scale; plan-guarded in
     # tests/test_plans.py::test_no_bare_or_empty_key_aggregate_windows)
     sig = out.groupBy(*keys).agg(F.stddev_pop("resid").alias("sigma"))
-    out = (
-        out.join(F.broadcast(sig), keys, "left")
-        if keys
-        else out.crossJoin(F.broadcast(sig))
-    )
+    out = fit_join(out, sig, keys, "left")
     return out.withColumn(
         "label",
         F.when(F.abs(F.col("resid")) > k * F.col("sigma"), F.lit(1)).otherwise(F.lit(-1)),
@@ -97,7 +109,7 @@ def znorm(df: DataFrame, val_cols: list[str], keys: list[str] | None = None) -> 
     for c in val_cols:
         aggs += [F.avg(c).alias(f"{c}__mu"), F.stddev_pop(c).alias(f"{c}__sd")]
     stats = df.groupBy(*keys).agg(*aggs)
-    out = df.join(F.broadcast(stats), keys, "left") if keys else df.crossJoin(F.broadcast(stats))
+    out = fit_join(df, stats, keys, "left")
     for c in val_cols:
         out = out.withColumn(c, (F.col(c) - F.col(f"{c}__mu")) / F.col(f"{c}__sd"))
     return out.drop(*[f"{c}__{m}" for c in val_cols for m in ("mu", "sd")])
@@ -116,7 +128,7 @@ def minmax_apply(
     feature_range: tuple[float, float] = (0.0, 1.0),
 ) -> DataFrame:
     lo, hi = feature_range
-    joined = df.join(F.broadcast(fitted), keys or [], "left") if keys else df.crossJoin(F.broadcast(fitted))
+    joined = fit_join(df, fitted, keys or [], "left")
     for c in val_cols:
         span = F.col(f"{c}__max") - F.col(f"{c}__min")
         scaled = F.when(span != 0, (F.col(c) - F.col(f"{c}__min")) / span).otherwise(F.lit(0.0))
@@ -129,7 +141,7 @@ def minmax_invert(
     feature_range: tuple[float, float] = (0.0, 1.0),
 ) -> DataFrame:
     lo, hi = feature_range
-    joined = df.join(F.broadcast(fitted), keys or [], "left") if keys else df.crossJoin(F.broadcast(fitted))
+    joined = fit_join(df, fitted, keys or [], "left")
     for c in val_cols:
         span = F.col(f"{c}__max") - F.col(f"{c}__min")
         joined = joined.withColumn(
@@ -148,7 +160,7 @@ def median_mad(df: DataFrame, val_col: str, keys: list[str] | None = None) -> Da
         F.percentile(val_col, F.lit(0.5)).alias("median"),
         F.avg(val_col).alias("_mean"),
     )
-    joined = df.join(F.broadcast(centers), keys, "inner") if keys else df.crossJoin(F.broadcast(centers))
+    joined = fit_join(df, centers, keys, "inner")
     return joined.groupBy(*keys).agg(
         F.first("median").alias("median"),
         F.avg(F.abs(F.col(val_col) - F.col("_mean"))).alias("mean_abs_dev"),
@@ -161,7 +173,7 @@ def modified_zscore(df: DataFrame, val_col: str, keys: list[str] | None = None) 
     (prediction/main.py:111-121)."""
     keys = keys or []
     stats = median_mad(df, val_col, keys)
-    joined = df.join(F.broadcast(stats), keys, "inner") if keys else df.crossJoin(F.broadcast(stats))
+    joined = fit_join(df, stats, keys, "inner")
     return joined.withColumn(
         "mod_z",
         F.lit(0.6745) * F.abs(F.col(val_col) - F.col("median")) / F.col("median_abs_dev"),
@@ -182,7 +194,7 @@ def gaussian_density(
 ) -> DataFrame:
     """A13: diagonal-Σ multivariate normal density as one column expression
     (gaussian.py:69-99 with diag covariance)."""
-    joined = df.join(F.broadcast(params), keys or [], "left") if keys else df.crossJoin(F.broadcast(params))
+    joined = fit_join(df, params, keys or [], "left")
     log_dens = F.lit(0.0)
     for c in val_cols:
         mu, var = F.col(f"{c}__mu"), F.col(f"{c}__var")
@@ -299,7 +311,7 @@ def seasonal_profile_residual(
     phase = F.extract(F.lit(period_expr), F.col(ts_col)).cast("int").alias("phase")
     d = df.withColumn("phase", phase)
     prof = d.groupBy(*keys, "phase").agg(F.avg(val_col).alias("profile"))
-    return d.join(F.broadcast(prof), [*keys, "phase"]).withColumn(
+    return fit_join(d, prof, [*keys, "phase"], "inner").withColumn(
         "residual", F.col(val_col) - F.col("profile")
     )
 

@@ -417,3 +417,30 @@ def test_contamination_and_sampler_plans_are_scale_clean(spark):
             "",
         )
         assert "Aggregate" in child, f"bare-key window over raw rows:\n{line}"
+
+
+def test_fit_joins_broadcast_via_aqe_without_hints(spark, events):
+    """VERDICT r05 #4: fit-frame joins (sigma fit, seasonal profile,
+    thresholds, scalers) carry NO broadcast hint — the frames are
+    key-proportional, and a forced hint bypasses AQE's size check (job
+    death at 10⁶+ keys instead of a shuffle fallback). The logical plan
+    must be hint-free, and at fixture scale AQE's runtime stats must still
+    CHOOSE a broadcast join on its own — the fast path is preserved, just
+    no longer forced."""
+    from mtsad_spark.operators.stats import (
+        seasonal_profile_residual,
+        sigma_rule_stationary,
+    )
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:
+        for out in (
+            sigma_rule_stationary(events, ["event_type"], "ts", "value", w=5),
+            seasonal_profile_residual(events, ["event_type"], "ts", "value"),
+        ):
+            assert "ResolvedHint" not in out._jdf.queryExecution().analyzed().toString()
+            out.write.format("noop").mode("overwrite").save()
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
