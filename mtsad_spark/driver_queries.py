@@ -2268,18 +2268,86 @@ def tokens_passthrough_hash(spark, sf_dir):
     return seq.select("doc_id", "n_tok", F.md5(tok_str).alias("tok_hash"))
 
 
-@_q("ivf_ann_embeddings", None)
+def _ivf_trained_sql(n_lists: int = 8, n_probe: int = 3, k: int = 3, iters: int = 2) -> str:
+    """Full oracle for the TRAINED IVF form: DuckDB replays the whole
+    deterministic Lloyd trainer (similarity.kmeans_deterministic) with the
+    iterations unrolled as CTEs — md5-hash-ranked seeds, argmin-L2
+    assignment (tie → lower list id), and EXACT integer micro-means
+    (floor(x·1e6 + 0.5) summed as BIGINT, then the one fixed float
+    expression s/n/1e6) — so the trained centroids are BITWISE equal across
+    engines (verified 0/512 coordinate mismatches at sf0.001/0.01/0.1).
+    Assignment margins (1st vs 2nd centroid distance) ≥ 4.4e-6 over every
+    sf dir — ~10⁹ × the cross-engine association noise."""
+    sql = """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS list_id, v AS ctr
+              FROM (SELECT * FROM c ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_lists}))"""
+    for i in range(iters):
+        sql += """,
+    tad{i} AS (SELECT c.vec_id, t.list_id, list_distance(c.v, t.ctr) AS d FROM c CROSS JOIN cent{i} t),
+    asg{i} AS (SELECT vec_id, list_id FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) rk FROM tad{i}) WHERE rk=1),
+    ex{i} AS (SELECT a.list_id, generate_subscripts(c.v, 1) AS pos, unnest(c.v) AS x
+              FROM asg{i} a JOIN c USING (vec_id)),
+    sums{i} AS (SELECT list_id, pos, sum(CAST(floor(x*1e6 + 0.5) AS BIGINT)) AS s, count(*) AS n
+              FROM ex{i} GROUP BY 1,2),
+    new{j} AS (SELECT list_id, list(CAST(s AS DOUBLE)/n/1e6 ORDER BY pos) AS ctr FROM sums{i} GROUP BY 1),
+    cent{j} AS (SELECT c0.list_id, COALESCE(n1.ctr, c0.ctr) AS ctr FROM cent{i} c0 LEFT JOIN new{j} n1 USING (list_id))""".replace(
+            "{i}", str(i)
+        ).replace("{j}", str(i + 1))
+    sql += """,
+    cent AS (SELECT list_id, ctr FROM cent{T}),
+    ad AS (SELECT c.vec_id, cent.list_id, list_distance(c.v, cent.ctr) AS d
+           FROM c CROSS JOIN cent),
+    assign AS (SELECT vec_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rk FROM ad)
+        WHERE rk = 1),
+    probe AS (SELECT vec_id AS query_id, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, list_id) AS rk
+        FROM ad WHERE vec_id < 5)
+        WHERE rk <= {n_probe}),
+    cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+             FROM probe p JOIN assign a ON a.list_id = p.list_id
+             WHERE a.vec_id != p.query_id),
+    sim AS (SELECT query_id, neighbor_id,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM cand
+            JOIN c a ON a.vec_id = cand.query_id
+            JOIN c b ON b.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM sim)
+    WHERE rank <= {k}
+    """
+    return (
+        sql.replace("{n_lists}", str(n_lists))
+        .replace("{T}", str(iters))
+        .replace("{n_probe}", str(n_probe))
+        .replace("{k}", str(k))
+    )
+
+
+@_q("ivf_ann_embeddings", _ivf_trained_sql())
 def ivf_ann_embeddings(spark, sf_dir):
-    """No SQL oracle for the TRAINED-quantizer form: Spark ML k-means
-    centroids are iterative floats DuckDB cannot reproduce. The
-    pre-trained-quantizer form of the same operator is fully oracled by
-    `ivf_seeded_ann_embeddings`."""
-    from mtsad_spark.operators.similarity import cosine_topk_ivf
+    """TRAINED-quantizer IVF, fully oracled since r6: the quantizer is
+    similarity.kmeans_deterministic (hash-ranked seeds + exact integer
+    micro-means — partition-invariant, bitwise cross-engine; VERDICT r05
+    #7), so DuckDB replays training, assignment, probing and ranking
+    end-to-end in _ivf_trained_sql. Rank on round(cosine, 6) + id tiebreak
+    like every ranker."""
+    from mtsad_spark.operators.similarity import cosine_topk_ivf, kmeans_deterministic
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return cosine_topk_ivf(emb, emb.filter("vec_id < 5"), k=3, n_lists=8, n_probe=3)
+    centroids = kmeans_deterministic(emb, n_lists=8, iters=2)
+    out = cosine_topk_ivf(
+        emb, emb.filter("vec_id < 5"), k=3, n_lists=8, n_probe=3,
+        centroids=centroids,
+    )
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 _IVF_SEEDED_SQL = """
@@ -3793,6 +3861,9 @@ def token_heavy_hitters_seqfix(spark, sf_dir):
 # (including ones whose underlying operators were rewritten), (c) green
 # queries whose last driver row is oldest.
 _PRIORITY = [
+    # (r6-a) newly-oracled / changed this round — never driver-checked in
+    # this form
+    "ivf_ann_embeddings",
     # (a0) NEW r5 capability — incremental continuous-aggregate refresh,
     # tier-stitched range query, deterministic sampling, 13-gram
     # contamination — never driver-checked

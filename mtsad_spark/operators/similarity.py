@@ -341,3 +341,85 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_deterministic(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic Lloyd trainer for the IVF coarse quantizer (VERDICT r05
+    #7: the Spark-ML k-means|| init is partition-dependent, leaving the
+    trained IVF form rows-only). Every step here is partition-invariant AND
+    cross-engine reproducible, so the trained path oracles exactly:
+
+    * init: the ``n_lists`` corpus vectors with the smallest
+      ``md5(cast(id as string))`` rank (id tiebreak) — the hash-ranked
+      sampler's portable ordering, identical in any engine;
+    * assignment: argmin L2 against the current centroids (left-fold over
+      dims; tie → lower list id), n_lists rows per vector — bounded window
+      groups, never a corpus×corpus join;
+    * update: per-(list, dim) mean from EXACT integer micro-sums —
+      ``floor(x·1e6 + 0.5)`` per coordinate summed as BIGINT (associative ⇒
+      the same total under any parallelism; half-up floor form because
+      Spark/DuckDB/numpy disagree on round()'s half rule), then the one
+      fixed float expression ``s / n / 1e6``. Empty lists keep their
+      previous centroid.
+
+    Driver state is n_lists × dim floats per iteration (two bounded collects
+    per iteration — seed rows and the micro-sum grid), the same bounded-seed
+    pattern as reduce_dims' landmarks. The DuckDB oracle replays the whole
+    trainer in SQL (driver_queries._ivf_trained_sql, iterations unrolled);
+    assignment-margin noise is the measured seeded-IVF budget (≥2.3e-5 vs
+    ~1e-15 association noise).
+    """
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    seed_rows = (
+        c.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h", "_id")
+        .limit(n_lists)
+        .collect()
+    )
+    seed_rows.sort(key=lambda r: (r["_h"], r["_id"]))
+    centroids = [[float(x) for x in r["_v"]] for r in seed_rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        cent = spark.createDataFrame(
+            [(i, ctr) for i, ctr in enumerate(centroids)],
+            schema="_list INT, _ctr ARRAY<DOUBLE>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("_v"), F.col("_ctr"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("_id").orderBy("_dc", "_list")
+        assign = (
+            c.crossJoin(F.broadcast(cent))
+            .withColumn("_dc", d2)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select("_id", "_v", "_list")
+        )
+        micro = F.transform(
+            F.col("_v"), lambda x: F.floor(x * F.lit(1e6) + F.lit(0.5)).cast("long")
+        )
+        grid = (
+            assign.select("_list", F.posexplode(micro).alias("_pos", "_m"))
+            .groupBy("_list", "_pos")
+            .agg(F.sum("_m").alias("_s"), F.count("*").alias("_n"))
+            .collect()  # bounded: n_lists × dim rows
+        )
+        by_list: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in grid:
+            by_list.setdefault(r["_list"], {})[r["_pos"]] = (r["_s"], r["_n"])
+        centroids = [
+            [by_list[i][p][0] / by_list[i][p][1] / 1e6 for p in range(dim)]
+            if i in by_list
+            else old
+            for i, old in enumerate(centroids)
+        ]
+    return centroids
