@@ -130,31 +130,39 @@ def main() -> None:
     # at 2 trials vs 6.0s at 3 in the same session), reading as a false
     # regression. A third attempt usually lands one in a normal window.
     trials = int(os.environ.get("BENCH_TRIALS", "3"))
-    timings: dict[str, float] = {}
-    for name in headline:
-        best = None
-        for _ in range(trials):
+    # ROUND-ROBIN trials (VERDICT r05 #6): trial t runs every query once
+    # before any query's trial t+1, so a multi-minute bad host window can't
+    # poison all N back-to-back attempts of one heavy query — each query
+    # gets attempts spread across the whole run's time span. Per-query
+    # trial lists ride in the JSON as `spread` so a reader can see the
+    # noise floor behind each min.
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    for _ in range(trials):
+        for name in headline:
             t0 = time.time()
             run_noop(qs[name](spark, sf_dir))
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+            samples[name].append(round(time.time() - t0, 3))
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+    timings: dict[str, float] = {n: min(s) for n, s in samples.items()}
 
     # flagship sequences pipeline (BASELINE.json metric: sequences/sec);
-    # input parquet materialized untimed — the metric is scan→rollup→score
+    # input parquet materialized untimed — the metric is scan→rollup→score.
+    # min-of-5 regardless of BENCH_TRIALS (VERDICT r05 #1): the flagship is
+    # the north-star metric and the one whose window noise has twice read
+    # as a false regression.
     seq_path = ensure_seq_parquet(spark, SEQ_ROWS)
     # untimed warm read: the first scan otherwise measures cold page cache
     # (measured 43s cold vs 8s warm for the same plan on this host)
     spark.read.parquet(seq_path).write.format("noop").mode("overwrite").save()
-    seq_s = None
-    for _ in range(trials):
+    seq_trials = max(trials, int(os.environ.get("BENCH_SEQ_TRIALS", "5")))
+    samples["seq_pipeline"] = []
+    for _ in range(seq_trials):
         t0 = time.time()
         seq_pipeline(spark, seq_path)
-        dt = time.time() - t0
-        seq_s = dt if seq_s is None or dt < seq_s else seq_s
+        samples["seq_pipeline"].append(round(time.time() - t0, 3))
         spark.catalog.clearCache()
-    timings["seq_pipeline"] = round(seq_s, 3)
+    timings["seq_pipeline"] = min(samples["seq_pipeline"])
+    seq_s = timings["seq_pipeline"]
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -163,6 +171,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": samples,  # all trials per query, run order — the noise floor
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "seq_rows": SEQ_ROWS,
         "seq_throughput_rows_per_sec": round(SEQ_ROWS / seq_s, 1),

@@ -3847,6 +3847,121 @@ def token_heavy_hitters_seqfix(spark, sf_dir):
     return token_heavy_hitters(seq, ["source"], "tokens", k=20)
 
 
+_HIST_LO, _HIST_HI, _HIST_NB = 0.0, 512.0, 16  # events.value spans 0–490
+_HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB
+
+
+def _hist_bin_sql() -> str:
+    # identical shape to rollup._hist_bin_expr: floor((v-lo)/width) is one
+    # scalar IEEE op chain, bitwise-equal across engines
+    return (
+        f"CASE WHEN value < {_HIST_LO} THEN -1 "
+        f"WHEN value >= {_HIST_HI} THEN {_HIST_NB} "
+        f"ELSE LEAST(CAST(FLOOR((value - {_HIST_LO}) / {_HIST_W}) AS INTEGER), {_HIST_NB - 1}) END"
+    )
+
+
+def _hist_tier_sql() -> str:
+    from mtsad_spark.operators.rollup import _hist_cols
+
+    cols = _hist_cols(_HIST_NB)
+    sums = ",\n           ".join(
+        f"CAST(sum(CASE WHEN bin = {i - 1} THEN 1 ELSE 0 END) AS BIGINT) AS {c}"
+        for i, c in enumerate(cols)
+    )
+    return f"""
+    WITH binned AS (
+      SELECT event_type, date_trunc('day', ts) AS bucket_ts,
+             {_hist_bin_sql()} AS bin
+      FROM events
+    )
+    SELECT event_type, '1d' AS tier, bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           {sums}
+    FROM binned GROUP BY 1, 2, 3
+    """
+
+
+@_q("histogram_tier_1d_composed", _hist_tier_sql())
+def histogram_tier_1d_composed(spark, sf_dir):
+    """Fixed-bucket histogram tiers (operators/rollup.histogram_rollup_tiers
+    — the Prometheus classic-histogram member of the tier-sketch family):
+    per-bin BIGINT counts are an EXACT mergeable partial, so the 1d tier
+    composed 1m→1h→1d must equal binning the raw rows at 1d directly — which
+    is exactly what the oracle does. Integer counts, bitwise cross-engine;
+    under/overflow ride in explicit h_under/h_over bins (no silent caps)."""
+    from mtsad_spark.operators.rollup import histogram_rollup_tiers
+
+    ev = _t(spark, sf_dir, "events")
+    tiers = histogram_rollup_tiers(
+        ev, "ts", "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_NB
+    )
+    return tiers["1d"]
+
+
+def _hist_quantile_sql() -> str:
+    q = 0.95
+    return f"""
+    WITH binned AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             {_hist_bin_sql()} AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, bucket_ts, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, bucket_ts, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS BIGINT) AS n_rows,
+             CAST(sum(cnt) OVER (
+               PARTITION BY event_type, bucket_ts ORDER BY bin
+             ) AS BIGINT) AS cum_cnt
+      FROM counts
+    ),
+    hit AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY bin) AS rk
+      FROM cum
+      WHERE CAST(cum_cnt AS DOUBLE) >= {q} * CAST(n_rows AS DOUBLE) AND cnt > 0
+    )
+    SELECT event_type, bucket_ts, n_rows,
+           round(CASE WHEN bin < 0 THEN {_HIST_LO}
+                      WHEN bin >= {_HIST_NB} THEN {_HIST_HI}
+                      ELSE LEAST(GREATEST(
+                        {_HIST_LO} + {_HIST_W} * (CAST(bin AS DOUBLE)
+                          + ({q} * CAST(n_rows AS DOUBLE)
+                             - (CAST(cum_cnt AS DOUBLE) - CAST(cnt AS DOUBLE)))
+                            / CAST(cnt AS DOUBLE)),
+                        {_HIST_LO}), {_HIST_HI})
+                 END, 6) AS q_est
+    FROM hit WHERE rk = 1
+    """
+
+
+@_q("histogram_quantile_p95_1h", _hist_quantile_sql())
+def histogram_quantile_p95_1h(spark, sf_dir):
+    """PromQL-style histogram_quantile over the 1h histogram tier
+    (operators/rollup.histogram_quantile): linear interpolation inside the
+    target bucket, under/overflow clamped to the known boundaries. The
+    estimate is ONE fixed float expression over exact integer counts —
+    deterministic across engines/parallelism (unlike KLL's randomized
+    estimates); rounded to 6 on both sides per the float discipline."""
+    from mtsad_spark.operators.rollup import (
+        histogram_quantile,
+        histogram_rollup_tiers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = histogram_rollup_tiers(
+        ev, "ts", "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_NB,
+        tiers=["1m", "1h"],
+    )["1h"]
+    return histogram_quantile(
+        h1h, ["event_type"], 0.95, _HIST_LO, _HIST_HI, _HIST_NB
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -3864,6 +3979,8 @@ _PRIORITY = [
     # (r6-a) newly-oracled / changed this round — never driver-checked in
     # this form
     "ivf_ann_embeddings",
+    "histogram_tier_1d_composed",
+    "histogram_quantile_p95_1h",
     # (a0) NEW r5 capability — incremental continuous-aggregate refresh,
     # tier-stitched range query, deterministic sampling, 13-gram
     # contamination — never driver-checked

@@ -494,3 +494,135 @@ def token_heavy_hitters(
     if min_support > 0:
         out = out.filter(F.col("support") >= min_support)
     return out.select(*keys, "token", "cnt", "rank", "support")
+
+
+def _hist_bin_expr(val_col: str, lo: float, width: float, n_bins: int) -> F.Column:
+    v = F.col(val_col).cast("double")
+    raw = F.floor((v - F.lit(lo)) / F.lit(width)).cast("int")
+    return (
+        F.when(v < F.lit(lo), F.lit(-1))
+        .when(v >= F.lit(lo + width * n_bins), F.lit(n_bins))
+        .otherwise(F.least(raw, F.lit(n_bins - 1)))
+    )
+
+
+def _hist_cols(n_bins: int) -> list[str]:
+    return ["h_under", *[f"h_{i:02d}" for i in range(n_bins)], "h_over"]
+
+
+def histogram_rollup_tiers(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 12,
+    tiers: list[str] | None = None,
+) -> dict[str, DataFrame]:
+    """Composable FIXED-BUCKET histogram tiers — the Prometheus/M3 classic:
+    a histogram with boundaries fixed up front is an EXACT integer partial
+    state (per-bin BIGINT counts), so unlike KLL it merges bitwise across
+    tiers, parallelism levels and engines: 1m bins the raw rows once (one
+    conditional-sum aggregate per bin, map-side combined, single shuffle),
+    1h/1d are elementwise per-bin sums over the finer tier — the
+    ``rollup_partials``/``reaggregate`` cascade applied to a vector of
+    counts. Out-of-range values land in explicit ``h_under``/``h_over``
+    bins (no silent clipping).
+
+    The trade against :func:`quantile_rollup_tiers` (KLL) is the classic
+    one: fixed buckets give exact, deterministic, mergeable counts and
+    O(n_bins) state but quantile estimates whose error is bounded by the
+    BUCKET WIDTH; KLL gives a proven rank-error bound for arbitrary
+    distributions but randomized, non-reproducible estimates. Tier engines
+    ship both (Prometheus classic histograms vs DDSketch/KLL backends).
+
+    Returns {tier: (keys..., tier, bucket_ts, n_rows, h_under, h_00…, h_over)}.
+    """
+    if n_bins < 1 or hi <= lo:
+        raise ValueError(f"need hi > lo and n_bins >= 1, got [{lo}, {hi}) / {n_bins}")
+    tiers = tiers or TIER_ORDER
+    width = (hi - lo) / n_bins
+    b = _hist_bin_expr(val_col, lo, width, n_bins)
+    cols = _hist_cols(n_bins)
+    base = tiers[0]
+    out: dict[str, DataFrame] = {}
+    out[base] = df.groupBy(*keys, bucket_expr(ts_col, base).alias("bucket_ts")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum((b == F.lit(i - 1)).cast("long")).alias(c)
+            for i, c in enumerate(cols)
+        ],
+    )
+    for prev, cur in zip(tiers, tiers[1:]):
+        out[cur] = (
+            out[prev]
+            .groupBy(*keys, bucket_expr("bucket_ts", cur).alias("bucket_ts"))
+            .agg(
+                F.sum("n_rows").alias("n_rows"),
+                *[F.sum(c).alias(c) for c in cols],
+            )
+        )
+    return {
+        t: s.select(*keys, F.lit(t).alias("tier"), "bucket_ts", "n_rows", *cols)
+        for t, s in out.items()
+    }
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """PromQL-style ``histogram_quantile`` over one histogram tier: linear
+    interpolation inside the bucket where the q·n-th value falls. All
+    inputs are exact integers, the estimate is one fixed float expression —
+    deterministic across engines and parallelism (unlike KLL's randomized
+    estimates). The under/overflow buckets clamp to ``lo``/``hi`` (PromQL
+    semantics: no interpolation outside the known boundaries).
+
+    Plan shape: unpivot the n_bins+2 count columns to (bin, cnt) rows
+    (n_bins+2 rows per bucket — BOUNDED groups), one cumulative-sum window
+    per (keys, bucket_ts), keep the first bin reaching the target rank.
+
+    Returns (keys..., bucket_ts, n_rows, q_est).
+    """
+    width = (hi - lo) / n_bins
+    cols = _hist_cols(n_bins)
+    stack = ", ".join(f"{i - 1}, {c}" for i, c in enumerate(cols))
+    long = hist.select(
+        *keys,
+        "bucket_ts",
+        "n_rows",
+        F.expr(f"stack({len(cols)}, {stack}) AS (bin, cnt)"),
+    )
+    w = Window.partitionBy(*keys, "bucket_ts").orderBy("bin")
+    target = F.lit(q) * F.col("n_rows").cast("double")
+    cum = F.sum("cnt").over(w).cast("double")
+    hit = (
+        long.withColumn("_cum", cum)
+        .withColumn("_hit", (F.col("_cum") >= target) & (F.col("cnt") > 0))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(*keys, "bucket_ts").orderBy(
+                    F.col("_hit").desc(), "bin"
+                )
+            ),
+        )
+        .filter((F.col("_rk") == 1) & F.col("_hit"))
+    )
+    interp = F.lit(lo) + F.lit(width) * (
+        F.col("bin").cast("double")
+        + (target - (F.col("_cum") - F.col("cnt").cast("double")))
+        / F.col("cnt").cast("double")
+    )
+    est = (
+        F.when(F.col("bin") < 0, F.lit(lo))
+        .when(F.col("bin") >= n_bins, F.lit(hi))
+        .otherwise(F.least(F.greatest(interp, F.lit(lo)), F.lit(hi)))
+    )
+    return hit.select(*keys, "bucket_ts", "n_rows", F.round(est, 6).alias("q_est"))

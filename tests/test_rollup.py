@@ -219,3 +219,72 @@ def test_distinct_overlap_1d_exact_below_nominal_entries(spark):
             assert r["returning_est"] == len(today & prev)
             assert r["union_est"] == len(today | prev)
     assert n_first >= 1  # at least each key's first observed day
+
+
+def test_histogram_tiers_golden_and_merge(spark):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    """Fixed-bucket histogram tiers: 1m bins match a numpy recompute
+    EXACTLY (integer counts), and the 1d tier composed from 1h partials is
+    bitwise-equal to binning the raw rows at 1d directly (associative
+    integer merges — the property KLL cannot give)."""
+    import numpy as np
+
+    from mtsad_spark.operators.rollup import histogram_rollup_tiers
+
+    lo, hi, nb = 0.0, 512.0, 16
+    tiers = histogram_rollup_tiers(events, "ts", "value", ["event_type"], lo, hi, nb)
+    got = (
+        tiers["1m"].toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    )
+    pdf = events.select("event_type", "ts", "value").toPandas()
+    pdf["bucket_ts"] = pdf["ts"].dt.floor("min")
+    width = (hi - lo) / nb
+    cols = ["h_under", *[f"h_{i:02d}" for i in range(nb)], "h_over"]
+    for _, row in got.head(200).iterrows():
+        sel = pdf[(pdf["event_type"] == row["event_type"]) & (pdf["bucket_ts"] == row["bucket_ts"])]
+        v = sel["value"].to_numpy(dtype=np.float64)
+        raw = np.floor((v - lo) / width).astype(int)
+        b = np.where(v < lo, -1, np.where(v >= hi, nb, np.minimum(raw, nb - 1)))
+        assert row["n_rows"] == len(v)
+        for i, c in enumerate(cols):
+            assert row[c] == int((b == i - 1).sum()), (c, row["event_type"], row["bucket_ts"])
+
+    direct_1d = histogram_rollup_tiers(
+        events, "ts", "value", ["event_type"], lo, hi, nb, tiers=["1d"]
+    )["1d"]
+    composed = (
+        tiers["1d"].toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    )
+    want = direct_1d.toPandas().sort_values(["event_type", "bucket_ts"]).reset_index(drop=True)
+    assert len(composed) == len(want)
+    for c in ("n_rows", *cols):
+        assert (composed[c].values == want[c].values).all(), c
+
+
+def test_histogram_quantile_interpolation(spark):
+    """histogram_quantile: hand-checkable interpolation, under/overflow
+    clamps, and agreement with numpy percentile-by-construction on a
+    uniform fill (every value mid-bin ⇒ the estimate is within one bucket
+    width of the exact quantile)."""
+    import datetime as dt
+
+    from mtsad_spark.operators.rollup import histogram_quantile, histogram_rollup_tiers
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 10 values in [0, 100): one per bin of width 10, at bin midpoints
+    rows = [("k", t0, 10.0 * i + 5.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    h = histogram_rollup_tiers(df, "ts", "value", ["k"], 0.0, 100.0, 10)["1m"]
+    est = histogram_quantile(h, ["k"], 0.5, 0.0, 100.0, 10).collect()[0]
+    # target = 0.5*10 = 5 -> 5th value, cum reaches 5 in bin 4 (cnt 1):
+    # est = 0 + 10*(4 + (5 - 4)/1) = 50
+    assert est["q_est"] == 50.0
+    lo_est = histogram_quantile(h, ["k"], 0.0, 0.0, 100.0, 10).collect()[0]
+    assert 0.0 <= lo_est["q_est"] <= 10.0
+    # all mass in the overflow bucket clamps to hi
+    big = spark.createDataFrame(
+        [("k", t0, 1000.0)], "k string, ts timestamp, value double"
+    )
+    hb = histogram_rollup_tiers(big, "ts", "value", ["k"], 0.0, 100.0, 10)["1m"]
+    over = histogram_quantile(hb, ["k"], 0.9, 0.0, 100.0, 10).collect()[0]
+    assert over["q_est"] == 100.0
