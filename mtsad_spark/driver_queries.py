@@ -3847,6 +3847,45 @@ def token_heavy_hitters_seqfix(spark, sf_dir):
     return token_heavy_hitters(seq, ["source"], "tokens", k=20)
 
 
+@_q(
+    "compacted_tier_read_1h",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vmin,
+           CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS vmax
+    FROM events GROUP BY 1, 2
+    """,
+)
+def compacted_tier_read_1h(spark, sf_dir):
+    """Gorilla cold-tier compaction end-to-end (plans/continuous.compact +
+    functions/gorilla.pack_partials): refresh the events table into stored
+    tiers, compact EVERY 1h day into packed binary columns (delta-of-delta
+    ts + XOR 64-bit patterns, int64 partials bit-reinterpreted — lossless),
+    then read through the stitched hot/cold path. The oracle aggregates the
+    raw rows directly; equality proves compress∘decompress∘merge is the
+    identity on the stored partial states."""
+    import shutil
+
+    from mtsad_spark.fixture_cache import CACHE_DIR
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+
+    path = f"{CACHE_DIR}/contagg_packed_{sf_dir.rstrip('/').rsplit('/', 1)[-1]}"
+    shutil.rmtree(path, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    ca = ContinuousAggregate(spark, path, ["event_type"], "ts", "cents")
+    ca.refresh(ev)
+    import datetime as dt
+
+    ca.compact("1h", dt.date(2100, 1, 1))  # everything goes cold
+    return ca.read_partials("1h").select(
+        "event_type", "bucket_ts", "cnt", "s1", "vmin", "vmax"
+    )
+
+
 _HIST_LO, _HIST_HI, _HIST_NB = 0.0, 512.0, 16  # events.value spans 0–490
 _HIST_W = (_HIST_HI - _HIST_LO) / _HIST_NB
 
@@ -3981,6 +4020,7 @@ _PRIORITY = [
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",
+    "compacted_tier_read_1h",
     # (a0) NEW r5 capability — incremental continuous-aggregate refresh,
     # tier-stitched range query, deterministic sampling, 13-gram
     # contamination — never driver-checked

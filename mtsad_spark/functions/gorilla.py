@@ -218,6 +218,42 @@ def gorilla_unpack(blob: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"ts": ts_out, "vals": val_out})
 
 
+_UNPACK_I64_RET = StructType(
+    [StructField("ts", ArrayType(LongType())), StructField("vals", ArrayType(LongType()))]
+)
+
+
+@F.pandas_udf(_PACK_RET)
+def gorilla_pack_i64(ts_arr: pd.Series, val_arr: pd.Series) -> pd.Series:
+    """Pack an INT64 value stream: the codec operates on raw 64-bit patterns
+    (compress views float64 as uint64 before XOR), so reinterpreting int64
+    bits as float64 — a view, NOT a value cast — round-trips any long
+    bitwise, including partial sums past 2^53 where a double value cast
+    would lose exactness."""
+    return pd.Series(
+        [
+            compress(
+                np.asarray(t, dtype=np.int64),
+                np.asarray(v, dtype=np.int64).view(np.float64),
+            )
+            for t, v in zip(ts_arr, val_arr)
+        ],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(_UNPACK_I64_RET)
+def gorilla_unpack_i64(blob: pd.Series) -> pd.DataFrame:
+    """Inverse of :func:`gorilla_pack_i64` (float64 bits viewed back as
+    int64)."""
+    ts_out, val_out = [], []
+    for b in blob:
+        t, v = decompress(bytes(b))
+        ts_out.append(t.tolist())
+        val_out.append(v.view(np.int64).tolist())
+    return pd.DataFrame({"ts": ts_out, "vals": val_out})
+
+
 def pack_rollup(
     tier_df: DataFrame,
     keys: list[str],
@@ -248,6 +284,78 @@ def pack_rollup(
         "chunk_start",
         F.size("_pts").alias("n_points"),
         gorilla_pack(F.col("_pts.ts"), F.col("_pts.v")).alias("block"),
+    )
+
+
+def pack_partials(
+    tier_df: DataFrame,
+    keys: list[str],
+    cols: list[str],
+    long_cols: set[str],
+    chunk: str = "day",
+) -> DataFrame:
+    """Pack a MULTI-column partial-state tier into one row per
+    (keys..., chunk_start) with one Gorilla block PER COLUMN — the
+    north_star's "rollup points stored as packed binary columns" as a
+    columnar layout: a reader that needs only cnt/s1 decodes only those
+    blocks. One shuffle (the groupBy); every column's stream is packed from
+    the SAME time-sorted struct list, so all blocks share an identical ts
+    sequence. Columns in ``long_cols`` are packed bit-reinterpreted
+    (lossless for any int64); the rest as float64."""
+    g = tier_df.groupBy(
+        *keys, F.date_trunc(chunk, F.col("bucket_ts")).alias("chunk_start")
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("bucket_ts").cast("long").alias("ts"),
+                    *[F.col(c).alias(c) for c in cols],
+                )
+            )
+        ).alias("_pts")
+    )
+    return g.select(
+        *keys,
+        "chunk_start",
+        F.size("_pts").alias("n_points"),
+        *[
+            (gorilla_pack_i64 if c in long_cols else gorilla_pack)(
+                F.col("_pts.ts"), F.col(f"_pts.{c}")
+            ).alias(f"block_{c}")
+            for c in cols
+        ],
+    )
+
+
+def unpack_partials(
+    packed: DataFrame, keys: list[str], cols: list[str], long_cols: set[str]
+) -> DataFrame:
+    """Inverse of :func:`pack_partials` → (keys..., bucket_ts, cols...).
+    The ts sequence is decoded from the first column's block (all blocks
+    carry the same one by construction)."""
+    u = packed.select(
+        *keys,
+        *[
+            (gorilla_unpack_i64 if c in long_cols else gorilla_unpack)(
+                F.col(f"block_{c}")
+            ).alias(f"_u_{c}")
+            for c in cols
+        ],
+    )
+    first = cols[0]
+    z = u.select(
+        *keys,
+        F.explode(
+            F.arrays_zip(
+                F.col(f"_u_{first}.ts").alias("ts"),
+                *[F.col(f"_u_{c}.vals").alias(c) for c in cols],
+            )
+        ).alias("_p"),
+    )
+    return z.select(
+        *keys,
+        F.timestamp_seconds(F.col("_p.ts")).alias("bucket_ts"),
+        *[F.col(f"_p.{c}").alias(c) for c in cols],
     )
 
 

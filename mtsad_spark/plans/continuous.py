@@ -65,6 +65,15 @@ class ContinuousAggregate:
     def _path(self, tier: str) -> str:
         return os.path.join(self.base_dir, f"agg_{tier}")
 
+    def _packed_path(self, tier: str) -> str:
+        return os.path.join(self.base_dir, f"agg_{tier}_packed")
+
+    def _long_cols(self) -> set[str]:
+        # rollup_partials types: cnt is always LONG; the value partials are
+        # LONG in exact_int mode, DOUBLE otherwise — determines which blocks
+        # pack bit-reinterpreted int64 vs float64
+        return set(PARTIAL_COLS) if self.exact_int else {"cnt"}
+
     def _fs(self, p: str):
         """(Hadoop FileSystem, Path) for any storage scheme — same seam as
         plans/pipeline._fs_path and sources/tables.drop_partitions_before.
@@ -77,10 +86,11 @@ class ContinuousAggregate:
         fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return fs, path
 
-    def _partition_days(self, tier: str) -> set[str] | None:
-        """ISO day strings with a stored ``_day=`` partition dir, or None if
-        the tier table does not exist. FS metadata only — never a data scan."""
-        fs, path = self._fs(self._path(tier))
+    def _days_at(self, path_str: str) -> set[str] | None:
+        """ISO day strings with a stored ``_day=`` partition dir at
+        ``path_str``, or None if the table does not exist. FS metadata only —
+        never a data scan."""
+        fs, path = self._fs(path_str)
         if not fs.exists(path):
             return None
         days = {
@@ -89,6 +99,16 @@ class ContinuousAggregate:
             if st.isDirectory() and st.getPath().getName().startswith("_day=")
         }
         return days or None
+
+    def _partition_days(self, tier: str) -> set[str] | None:
+        """Days present across BOTH layouts (hot row-form ∪ cold packed) —
+        what "the tier stores day d" means to readers, hole detection and
+        refresh's merge-vs-create decision."""
+        row = self._days_at(self._path(tier))
+        packed = self._days_at(self._packed_path(tier))
+        if row is None and packed is None:
+            return None
+        return (row or set()) | (packed or set())
 
     def _exists(self, tier: str) -> bool:
         # NOT a _SUCCESS probe: the dynamic-partition-overwrite commit
@@ -105,6 +125,124 @@ class ContinuousAggregate:
             .partitionBy("_day")
             .parquet(self._path(tier))
         )
+
+    def _day_filter(self, df: DataFrame, day_lo, day_hi, days) -> DataFrame:
+        import datetime as _dt
+
+        if days is not None:
+            df = df.filter(
+                F.col("_day").isin([_dt.date.fromisoformat(str(d)) for d in days])
+            )
+        if day_lo is not None:
+            df = df.filter(F.col("_day") >= F.lit(day_lo))
+        if day_hi is not None:
+            df = df.filter(F.col("_day") <= F.lit(day_hi))
+        return df
+
+    def _read_tier(self, tier: str, day_lo=None, day_hi=None, days=None) -> DataFrame:
+        """Stitched partial-state read across the HOT row-form and COLD
+        Gorilla-packed layouts, partition-pruned by ``_day`` in both.
+
+        Precedence: a day present in the row-form layout WINS over the same
+        day's packed copy. That one rule makes the whole lifecycle
+        crash-consistent: ``compact`` writes packed before deleting row
+        dirs (a crash between leaves both copies — reads use the row copy,
+        re-compact converges), and a late ``refresh`` into an
+        already-packed day writes the merged result as row-form (the stale
+        packed day is shadowed until the next compact re-packs it).
+
+        The exclusion predicate is ``isin`` over the ROW-form day list —
+        bounded by the hot retention window (days, not data), so the filter
+        stays small even when the packed history spans years."""
+        import datetime as _dt
+
+        row_days = self._days_at(self._path(tier)) or set()
+        packed_days = self._days_at(self._packed_path(tier)) or set()
+        if not row_days and not packed_days:
+            raise ValueError(
+                f"tier {tier} has no stored table under {self.base_dir}"
+            )
+        frames: list[DataFrame] = []
+        if row_days:
+            df = self._day_filter(
+                self.spark.read.parquet(self._path(tier)), day_lo, day_hi, days
+            )
+            frames.append(df.select(*self.keys, "bucket_ts", *PARTIAL_COLS))
+        if packed_days - row_days:
+            from mtsad_spark.functions.gorilla import unpack_partials
+
+            pk = self.spark.read.parquet(self._packed_path(tier))
+            if row_days:
+                pk = pk.filter(
+                    ~F.col("_day").isin(
+                        [_dt.date.fromisoformat(d) for d in sorted(row_days)]
+                    )
+                )
+            pk = self._day_filter(pk, day_lo, day_hi, days)
+            frames.append(
+                unpack_partials(
+                    pk, self.keys, PARTIAL_COLS, self._long_cols()
+                ).select(*self.keys, "bucket_ts", *PARTIAL_COLS)
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def compact(self, tier: str, before_day) -> int:
+        """Move immutable day-partitions strictly older than ``before_day``
+        from the hot row-form layout into Gorilla-packed binary columns
+        (north_star: "rollup points stored as packed binary columns") —
+        one row per (keys..., day), one delta-of-delta/XOR block per
+        partial column (functions/gorilla.pack_partials). LONG partials
+        pack bit-reinterpreted, so the cold copy is BITWISE the hot one;
+        every read path (read_partials / read / range_query) stitches both
+        layouts transparently via :meth:`_read_tier`.
+
+        Protocol: write packed days (dynamic partition overwrite), THEN
+        metadata-only-delete the row-form day dirs. A crash in between
+        leaves both copies; row-form precedence keeps reads correct and a
+        re-run converges (idempotent). Pick ``before_day`` at or behind the
+        ingest lateness horizon; a late refresh into a packed day still
+        merges correctly (against the unpacked copy) — it just resurrects
+        the day as row-form until the next compact.
+
+        Retention: expire COLD history with
+        ``sources.tables.drop_partitions_before`` on ``_packed_path(tier)``
+        exactly like the hot path. Returns the number of days compacted."""
+        import datetime as _dt
+
+        from mtsad_spark.functions.gorilla import pack_partials
+
+        cut = (
+            before_day.isoformat()
+            if isinstance(before_day, _dt.date)
+            else str(before_day)
+        )
+        row_days = self._days_at(self._path(tier)) or set()
+        todo = sorted(d for d in row_days if d < cut)
+        if not todo:
+            return 0
+        rows = self._day_filter(
+            self.spark.read.parquet(self._path(tier)), None, None, todo
+        ).select(*self.keys, "bucket_ts", *PARTIAL_COLS)
+        packed = pack_partials(
+            rows, self.keys, PARTIAL_COLS, self._long_cols(), chunk="day"
+        )
+        (
+            packed.withColumn("_day", F.to_date("chunk_start"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_day")
+            .parquet(self._packed_path(tier))
+        )
+        # the packed write above is a completed action on a DIFFERENT path,
+        # so deleting the source dirs needs no checkpoint barrier
+        fs, base = self._fs(self._path(tier))
+        jvm = self.spark._jvm
+        for d in todo:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(base, f"_day={d}"), True)
+        return len(todo)
 
     def refresh(self, batch: DataFrame) -> dict[str, int]:
         """Merge one ingest batch into every tier table. Returns the number
@@ -130,11 +268,12 @@ class ContinuousAggregate:
                 ]
                 affected[tier] = len(days)
                 if self._exists(tier):
-                    stored = (
-                        self.spark.read.parquet(self._path(tier))
-                        .filter(F.col("_day").isin(days))  # partition-pruned
-                        .select(*self.keys, "bucket_ts", *PARTIAL_COLS)
-                    )
+                    # partition-pruned, and stitched across the hot/packed
+                    # layouts: a late batch landing on a COMPACTED day
+                    # merges against the unpacked cold copy (the merged
+                    # day is rewritten as row-form, shadowing the stale
+                    # packed copy until the next compact)
+                    stored = self._read_tier(tier, days=days)
                     # localCheckpoint materializes the merge BEFORE the
                     # overwrite: Spark (rightly) refuses to overwrite a
                     # file-source path still present in the writing plan's
@@ -151,9 +290,7 @@ class ContinuousAggregate:
         return affected
 
     def read_partials(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(tier)).select(
-            *self.keys, "bucket_ts", *PARTIAL_COLS
-        )
+        return self._read_tier(tier)
 
     def read(self, tier: str) -> DataFrame:
         """User-facing rollup points for one tier."""
@@ -221,9 +358,5 @@ class ContinuousAggregate:
                 continue
             lo = min(s[0] for s in spans).date()
             hi = (max(s[1] for s in spans) - _dt.timedelta(seconds=1)).date()
-            frames[tier] = (
-                self.spark.read.parquet(self._path(tier))
-                .filter((F.col("_day") >= F.lit(lo)) & (F.col("_day") <= F.lit(hi)))
-                .select(*self.keys, "bucket_ts", *PARTIAL_COLS)
-            )
+            frames[tier] = self._read_tier(tier, day_lo=lo, day_hi=hi)
         return stitched_range_aggregate(frames, self.keys, t0, t1)

@@ -420,3 +420,102 @@ def test_continuous_aggregate_full_lifecycle(spark, events, tmp_path):
         dt.datetime(2024, 1, 5, 6, 30), dt.datetime(2024, 1, 8), allow_partial=True
     ).toPandas()
     assert len(part) > 0  # opt-in still answers (undercounted by design)
+
+
+def test_compact_to_gorilla_cold_tier(spark, events, tmp_path):
+    """Cold-tier compaction lifecycle: days older than the cutoff move from
+    row-form parquet into Gorilla-packed binary columns, and every read path
+    is BITWISE unchanged — plus crash-consistency (row-form precedence),
+    idempotence, and late-refresh-into-a-packed-day semantics."""
+    from mtsad_spark.operators.rollup import rollup_partials
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+
+    ev = events.withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+    base = str(tmp_path / "ca")
+    ca = ContinuousAggregate(spark, base, ["event_type"], "ts", "cents")
+    ca.refresh(ev.filter(F.col("event_id") % 2 == 0))
+    ca.refresh(ev.filter(F.col("event_id") % 2 == 1))
+
+    def snap(tier):
+        return (
+            ca.read_partials(tier)
+            .toPandas()
+            .sort_values(["event_type", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+
+    def day_dirs(path):
+        root = os.path.join(base, path)
+        if not os.path.isdir(root):
+            return set()
+        return {d[len("_day=") :] for d in os.listdir(root) if d.startswith("_day=")}
+
+    before = {t: snap(t) for t in ("1m", "1h")}
+    all_days = sorted(day_dirs("agg_1m"))
+    assert len(all_days) >= 4
+    cut = all_days[len(all_days) // 2]
+    cold = {d for d in all_days if d < cut}
+
+    import datetime as dtmod
+
+    n = ca.compact("1m", dtmod.date.fromisoformat(cut))
+    assert n == len(cold)
+    assert day_dirs("agg_1m") == set(all_days) - cold  # hot rows gone
+    assert day_dirs("agg_1m_packed") == cold  # cold days packed
+
+    # every read path bitwise-unchanged across the hot/cold stitch
+    after = snap("1m")
+    assert len(after) == len(before["1m"])
+    for c in ("cnt", "s1", "s2", "vmin", "vmax"):
+        assert (after[c].values == before["1m"][c].values).all(), c
+
+    # range_query spanning the compaction boundary: equal to pre-compaction
+    lo = dtmod.datetime.fromisoformat(all_days[0]) + dtmod.timedelta(hours=7)
+    hi = dtmod.datetime.fromisoformat(all_days[-1]) + dtmod.timedelta(hours=5)
+    got = (
+        ca.range_query(lo, hi)
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (got["cnt"] > 0).all()
+    # oracle: direct aggregation of the raw rows in [lo, hi)
+    want = (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("cents").alias("s1"))
+        .toPandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert (got["cnt"].values == want["cnt"].values).all()
+    assert (got["sum_v"].values == want["s1"].values).all()
+
+    # idempotent: nothing left to compact below the cutoff
+    assert ca.compact("1m", dtmod.date.fromisoformat(cut)) == 0
+
+    # crash window: a row-form copy of a packed day takes PRECEDENCE and
+    # re-compacting converges (packed rewritten, row dir re-deleted)
+    d0 = sorted(cold)[0]
+    batch_d0 = ev.filter(F.to_date("ts") == F.lit(dtmod.date.fromisoformat(d0)))
+    ca.refresh(batch_d0)  # late data into a compacted day
+    assert d0 in day_dirs("agg_1m")  # resurrected as hot row-form
+    # merged = original + the re-ingested batch (double-count by design here)
+    exp = (
+        rollup_partials(
+            ev.unionByName(batch_d0), "ts", "cents", ["event_type"], "1m"
+        )
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    got2 = snap("1m")
+    assert len(got2) == len(exp)
+    for c in ("cnt", "s1", "s2", "vmin", "vmax"):
+        assert (got2[c].values == exp[c].values).all(), c
+    # re-compact folds the resurrected day back into the cold layout
+    assert ca.compact("1m", dtmod.date.fromisoformat(cut)) == 1
+    assert d0 not in day_dirs("agg_1m")
+    got3 = snap("1m")
+    for c in ("cnt", "s1", "s2", "vmin", "vmax"):
+        assert (got3[c].values == exp[c].values).all(), c

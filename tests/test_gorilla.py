@@ -113,3 +113,44 @@ def test_spark_pack_unpack_all_tiers(spark, seq_df):
         assert (
             back["value"].values.view(np.uint64) == orig["mean"].values.view(np.uint64)
         ).all(), tier
+
+
+def test_i64_bit_reinterpret_roundtrip():
+    """gorilla_pack_i64's contract at the kernel level: int64 payloads
+    viewed as float64 bit patterns survive compress∘decompress bitwise —
+    including values past 2^53 where a VALUE cast to double would round."""
+    import numpy as np
+
+    from mtsad_spark.functions.gorilla import compress, decompress
+
+    vals = np.array(
+        [0, 1, -1, 2**53 + 1, -(2**53) - 7, 2**62 + 12345, np.iinfo(np.int64).min + 1],
+        dtype=np.int64,
+    )
+    ts = np.arange(len(vals), dtype=np.int64) * 60
+    blob = compress(ts, vals.view(np.float64))
+    t2, v2 = decompress(blob)
+    assert (t2 == ts).all()
+    assert (v2.view(np.int64) == vals).all()
+
+
+def test_pack_partials_multicolumn_roundtrip(spark, seq_df):
+    """pack_partials/unpack_partials: every PARTIAL column round-trips
+    bitwise through its own per-column block, all sharing one ts stream."""
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.functions.gorilla import pack_partials, unpack_partials
+    from mtsad_spark.operators.rollup import PARTIAL_COLS, rollup_partials
+
+    p = rollup_partials(seq_df, "ingest_ts", "n_tok", ["source"], "1m")
+    packed = pack_partials(p, ["source"], PARTIAL_COLS, set(PARTIAL_COLS))
+    back = unpack_partials(packed, ["source"], PARTIAL_COLS, set(PARTIAL_COLS))
+    got = back.toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    want = p.toPandas().sort_values(["source", "bucket_ts"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    for c in PARTIAL_COLS:
+        assert (got[c].values == want[c].values).all(), c
+    # block row count is bounded by (keys × days), and n_points audits the
+    # explode: total points must equal the tier's row count
+    n_pts = packed.agg(F.sum("n_points")).collect()[0][0]
+    assert n_pts == len(want)
