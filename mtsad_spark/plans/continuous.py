@@ -209,7 +209,11 @@ class ContinuousAggregate:
 
         Retention: expire COLD history with
         ``sources.tables.drop_partitions_before`` on ``_packed_path(tier)``
-        exactly like the hot path. Returns the number of days compacted."""
+        exactly like the hot path. Raw-table readers that bypass this class
+        (``TableProvider.read`` on an ``agg_*`` path) see only the hot
+        layout — a compacted store must be read through
+        :meth:`read_partials` / :meth:`read` / :meth:`range_query`.
+        Returns the number of days compacted."""
         import datetime as _dt
 
         from mtsad_spark.functions.gorilla import pack_partials
