@@ -164,6 +164,9 @@ CPU-time at high thread counts = throttled grant, corroborating the burn
 probe below, not engine behavior). Utilization = task_run_time /
 (wall × cores): how little of the wall is scheduling gaps + fixed job cost.
 
+Cross-round regression adjudications (interleaved A/B vs prior-round trees,
+per-query trial spreads): see BENCH/FLAGSHIP_AB.md.
+
 ## Scaling windows (both reported; see calibration below)
 
 eff_raw = speedup/4 (assumes the host grants 4× CPU). eff_hw = speedup /
