@@ -154,3 +154,32 @@ def test_pack_partials_multicolumn_roundtrip(spark, seq_df):
     # explode: total points must equal the tier's row count
     n_pts = packed.agg(F.sum("n_points")).collect()[0][0]
     assert n_pts == len(want)
+
+
+def test_pack_partials_partitioning_invariant(spark, seq_df):
+    """Cold-tier blocks are BYTES-deterministic under any input partitioning
+    (sort_array orders points before packing), so a compacted store's
+    content never depends on cluster layout — the cross-parallelism
+    determinism the north rule's tier-match criterion needs."""
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.functions.gorilla import pack_partials
+    from mtsad_spark.operators.rollup import PARTIAL_COLS, rollup_partials
+
+    p = rollup_partials(seq_df, "ingest_ts", "n_tok", ["source"], "1m")
+    a = (
+        pack_partials(p, ["source"], PARTIAL_COLS, set(PARTIAL_COLS))
+        .toPandas()
+        .sort_values(["source", "chunk_start"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_partials(p.repartition(7, "bucket_ts"), ["source"], PARTIAL_COLS, set(PARTIAL_COLS))
+        .toPandas()
+        .sort_values(["source", "chunk_start"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    for c in PARTIAL_COLS:
+        col = f"block_{c}"
+        assert all(bytes(x) == bytes(y) for x, y in zip(a[col], b[col])), col
