@@ -2392,7 +2392,8 @@ def ivf_seeded_ann_embeddings(spark, sf_dir):
     exactly. Ordering-safe: min assignment gap (1st vs 2nd centroid) ≥
     2.3e-5 and min probe-boundary gap ≥ 2.3e-3 over every sf dir (measured;
     fixtures are deterministic) — ~10^8 × the cross-engine float-association
-    noise. The TRAINED form stays rows-only (`ivf_ann_embeddings`)."""
+    noise. The TRAINED form (`ivf_ann_embeddings`) is oracled too since r6
+    via the deterministic Lloyd trainer."""
     from mtsad_spark.operators.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -4001,6 +4002,100 @@ def histogram_quantile_p95_1h(spark, sf_dir):
     )
 
 
+@_q(
+    "cusum_scores_1h",
+    """
+    WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
+                   FROM events GROUP BY 1, 2),
+         fit AS (SELECT event_type, CAST(FLOOR(avg(load)) AS BIGINT) AS k
+                 FROM hload GROUP BY 1),
+         d AS (SELECT h.event_type, h.bucket_ts, h.load, h.load - f.k AS dev
+               FROM hload h JOIN fit f ON h.event_type = f.event_type),
+         c AS (SELECT event_type, bucket_ts, load,
+                      CAST(sum(dev) OVER w AS BIGINT) AS cu,
+                      CAST(sum(-dev) OVER w AS BIGINT) AS cd
+               FROM d
+               WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_type, bucket_ts, load,
+           CAST(cu - LEAST(min(cu) OVER w2, 0) AS BIGINT) AS cusum_up,
+           CAST(cd - LEAST(min(cd) OVER w2, 0) AS BIGINT) AS cusum_dn
+    FROM c
+    WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket_ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def cusum_scores_1h(spark, sf_dir):
+    """Two-sided CUSUM change-point scores (operators/scoring.cusum_scores —
+    Page's detector as pure window algebra next to the reference's
+    per-point threshold rules, lstm_mts.py:531-545): hourly cents load per
+    key, slack k = floor(per-key mean) so every deviation, cumsum and
+    running min is an exact BIGINT — the recurrence's closed form
+    S_i = C_i − min(0, min C_j) is bitwise cross-engine, no rounding."""
+    from mtsad_spark.operators.scoring import cusum_scores
+    from mtsad_spark.operators.stats import fit_join
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hload = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("load"))
+    fit = hload.groupBy("event_type").agg(
+        F.floor(F.avg("load")).cast("long").alias("k")
+    )
+    d = fit_join(hload, fit, ["event_type"], "inner").withColumn(
+        "dev", F.col("load") - F.col("k")
+    )
+    out = cusum_scores(d, ["event_type"], "bucket_ts", "dev", k=0)
+    return out.select("event_type", "bucket_ts", "load", "cusum_up", "cusum_dn")
+
+
+@_q(
+    "time_weighted_avg_1d",
+    """
+    WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
+                   FROM events GROUP BY 1, 2),
+         seg AS (SELECT event_type, bucket_ts, load,
+                        lead(load) OVER w AS nv,
+                        date_diff('second', bucket_ts, lead(bucket_ts) OVER w) AS dt_s
+                 FROM hload
+                 WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts))
+    SELECT event_type, CAST(date_trunc('day', bucket_ts) AS TIMESTAMP) AS bucket_day,
+           CAST(sum((load + nv) * dt_s) AS BIGINT) AS twa_num,
+           CAST(sum(dt_s) AS BIGINT) AS twa_den_sec,
+           CAST(sum((load + nv) * dt_s) AS DOUBLE)
+             / CAST(2 * sum(dt_s) AS BIGINT) AS twa
+    FROM seg
+    WHERE dt_s IS NOT NULL AND dt_s > 0
+    GROUP BY 1, 2
+    """,
+)
+def time_weighted_avg_1d(spark, sf_dir):
+    """Trapezoidal time-weighted daily average of the hourly tier
+    (operators/scoring.time_weighted_avg — TimescaleDB time_weight('Linear')
+    semantics the plain rollup mean gets wrong on gappy series): segments
+    attributed to the LEFT endpoint's day; integer cents keep numerator and
+    denominator exact BIGINTs, twa = ONE float division — bitwise
+    cross-engine, no rounding."""
+    from mtsad_spark.operators.scoring import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hload = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("load"))
+    out = time_weighted_avg(hload, ["event_type"], "bucket_ts", "load", bucket="day")
+    return out.select(
+        "event_type",
+        F.col("bucket_ts").alias("bucket_day"),
+        "twa_num",
+        "twa_den_sec",
+        "twa",
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4017,6 +4112,8 @@ def histogram_quantile_p95_1h(spark, sf_dir):
 _PRIORITY = [
     # (r6-a) newly-oracled / changed this round — never driver-checked in
     # this form
+    "cusum_scores_1h",
+    "time_weighted_avg_1d",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -346,3 +346,110 @@ def threshold_sweep(
     fn = F.sum(((pred != 1) & (truth == 1)).cast("long")).alias("fn")
     agg = joined.groupBy(*keys, "q", "threshold").agg(tp, fp, fn)
     return with_prf_columns(agg).drop("tp", "fp", "fn").orderBy(*keys, "q")
+
+
+def cusum_scores(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    k: float | None = None,
+    h: float | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point scores over a tier-point series — the
+    classic Page (1954) drift detector next to the reference's
+    threshold-on-residual scorers (prediction/lstm_mts.py:531-545 tags a
+    point when a score crosses a level; CUSUM accumulates small persistent
+    shifts those per-point rules miss).
+
+    Recurrences ``up_i = max(0, up_{i-1} + (x_i - k))`` and
+    ``dn_i = max(0, dn_{i-1} + (k - x_i))`` look sequential, but both have
+    the exact prefix closed form ``S_i = C_i - min(0, min_{j<=i} C_j)``
+    with ``C`` the running sum of the deviations — so the whole detector is
+    two window cumsums + two running mins, pure JVM whole-stage-codegen
+    window algebra: NO Python kernel, no recursion, exact when ``x`` and
+    ``k`` are integers (cents). ``k`` is the slack/reference value
+    (defaults to the per-key mean, computed as an exact-integer fit frame);
+    optional ``h`` emits an ``alarm`` flag when either side exceeds it.
+
+    Scale shape: per-key windows over ROLLUP tier points (the post-rollup
+    scorer contract shared with counter_rate/sliding_zscore — never raw
+    rows), one shuffle on (keys) total; the optional mean fit adds one
+    map-side-combined aggregate joined back via stats/AQE (no forced
+    broadcast — VERDICT r05 #4 convention).
+    """
+    from pyspark.sql import Window
+
+    d = df
+    if k is None:
+        fit = df.groupBy(*keys).agg(F.avg(val_col).alias("_k"))
+        d = fit_join(df, fit, keys, "inner")
+        k_col = F.col("_k")
+    else:
+        k_col = F.lit(k)
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    c_up = F.sum(F.col(val_col) - k_col).over(w)
+    c_dn = F.sum(k_col - F.col(val_col)).over(w)
+    out = (
+        d.withColumn("_cu", c_up)
+        .withColumn("_cd", c_dn)
+        .withColumn("cusum_up", F.col("_cu") - F.least(F.min("_cu").over(w), F.lit(0)))
+        .withColumn("cusum_dn", F.col("_cd") - F.least(F.min("_cd").over(w), F.lit(0)))
+        .drop("_cu", "_cd", "_k")
+    )
+    if h is not None:
+        out = out.withColumn(
+            "alarm", (F.col("cusum_up") > F.lit(h)) | (F.col("cusum_dn") > F.lit(h))
+        )
+    return out
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    bucket: str = "day",
+) -> DataFrame:
+    """Trapezoidal time-weighted average per (keys, bucket) — the
+    TimescaleDB ``time_weight('Linear')`` continuous-aggregate op the plain
+    rollup mean gets wrong on irregularly-spaced points (a value that held
+    for 50 minutes should weigh 50× one that held for a minute; the
+    reference's resampling step assumes regular spacing and has no
+    equivalent).
+
+    Each consecutive pair within a key contributes the trapezoid
+    ``(v_i + v_{i+1}) * Δt_sec``, attributed to the LEFT endpoint's bucket
+    (documented convention; segments never straddle-split). With integer
+    ``val_col`` (cents) the numerator and denominator are exact BIGINTs and
+    ``twa = Σ num / (2 * Σ Δt)`` is ONE float division — bitwise
+    cross-engine, no rounding (the memory-file integer-partials pattern).
+
+    Scale shape: one lead() window per key over tier points + one
+    map-side-combined groupBy on (keys, bucket); no Python, no skew beyond
+    the key layout the rollup already has.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    nxt_v = F.lead(val_col).over(w)
+    nxt_t = F.lead(ts_col).over(w)
+    # double-cast epoch seconds (the counter_rate/TIMESTAMP_NTZ-safe form),
+    # re-cast long so the trapezoid numerator stays exact BIGINT
+    dt = (nxt_t.cast("double") - F.col(ts_col).cast("double")).cast("long")
+    seg = (
+        df.withColumn("_num", (F.col(val_col) + nxt_v) * dt)
+        .withColumn("_dt", dt)
+        .where(F.col("_dt").isNotNull() & (F.col("_dt") > 0))
+    )
+    return (
+        seg.groupBy(*keys, F.date_trunc(bucket, ts_col).alias("bucket_ts"))
+        .agg(F.sum("_num").alias("_n"), F.sum("_dt").alias("_d"))
+        .select(
+            *keys,
+            "bucket_ts",
+            F.col("_n").alias("twa_num"),
+            F.col("_d").alias("twa_den_sec"),
+            (F.col("_n") / (F.lit(2) * F.col("_d"))).alias("twa"),
+        )
+    )

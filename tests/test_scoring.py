@@ -348,3 +348,74 @@ def test_halo_slicer_hot_key_many_coarse_buckets(spark):
     )
     want = pdf.sort_values("ts")["v"].ewm(alpha=0.2, adjust=False).mean().values
     assert np.allclose(c["ewma_level"].values, want, rtol=1e-10)
+
+
+def test_cusum_closed_form_vs_loop_oracle(spark):
+    """cusum_scores' window closed form S_i = C_i - min(0, min C_j) must
+    equal the sequential Page recurrence exactly (integer inputs)."""
+    from mtsad_spark.operators.scoring import cusum_scores
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for key in ("a", "b"):
+        x = rng.integers(-5, 9, size=200)
+        x[120:160] += 6  # injected persistent upward shift
+        for i, v in enumerate(x):
+            rows.append((key, i, int(v)))
+    df = spark.createDataFrame(rows, "key string, t int, x long")
+    got = (
+        cusum_scores(df, ["key"], "t", "x", k=2, h=30)
+        .select("key", "t", "cusum_up", "cusum_dn", "alarm")
+        .toPandas()
+        .sort_values(["key", "t"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for key in ("a", "b"):
+        xs = [r[2] for r in rows if r[0] == key]
+        up = dn = 0
+        for i, v in enumerate(xs):
+            up = max(0, up + (v - 2))
+            dn = max(0, dn + (2 - v))
+            exp_rows.append((key, i, up, dn, up > 30 or dn > 30))
+    exp = pd.DataFrame(exp_rows, columns=["key", "t", "cusum_up", "cusum_dn", "alarm"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # the injected shift must actually raise an alarm, and only on key-local state
+    assert got[(got.key == "a") & (got.t >= 120) & (got.t < 160)].alarm.any()
+
+
+def test_cusum_default_k_is_per_key_mean(spark):
+    from mtsad_spark.operators.scoring import cusum_scores
+
+    df = spark.createDataFrame(
+        [("a", 0, 10), ("a", 1, 20), ("a", 2, 30), ("b", 0, 100), ("b", 1, 200)],
+        "key string, t int, x long",
+    )
+    got = cusum_scores(df, ["key"], "t", "x").toPandas().sort_values(["key", "t"])
+    # key a: k=20 → deviations -10,0,10 → up: 0,0,10 ; dn: 10,10,0
+    a = got[got.key == "a"]
+    assert list(a.cusum_up) == [0, 0, 10] and list(a.cusum_dn) == [10, 10, 0]
+    b = got[got.key == "b"]  # k=150 → up: 0,50 ; dn: 50,0
+    assert list(b.cusum_up) == [0, 50] and list(b.cusum_dn) == [50, 0]
+
+
+def test_time_weighted_avg_vs_numpy_trapezoid(spark):
+    """Irregular spacing: twa must weigh values by hold time (trapezoid),
+    diverging from the plain mean; numerator/denominator exact BIGINTs."""
+    import datetime as dt
+
+    from mtsad_spark.operators.stats import fit_join  # noqa: F401  (import path sanity)
+    from mtsad_spark.operators.scoring import time_weighted_avg
+
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [(0, 100), (3540, 100), (3600, 400), (3660, 400)]  # holds 59 min @100, brief spike @400
+    rows = [("s", t0 + dt.timedelta(seconds=s), v) for s, v in pts]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, cents long")
+    got = time_weighted_avg(df, ["key"], "ts", "cents", bucket="day").toPandas()
+    assert len(got) == 1
+    num = sum((pts[i][1] + pts[i + 1][1]) * (pts[i + 1][0] - pts[i][0]) for i in range(3))
+    den = pts[-1][0] - pts[0][0]
+    assert got.twa_num[0] == num and got.twa_den_sec[0] == den
+    assert got.twa[0] == num / (2 * den)
+    plain_mean = sum(v for _, v in pts) / 4
+    assert abs(got.twa[0] - plain_mean) > 1  # trapezoid ≠ plain mean on irregular spacing
