@@ -4096,6 +4096,77 @@ def time_weighted_avg_1d(spark, sf_dir):
     )
 
 
+def _lttb_sql(n_out: int = 12) -> str:
+    """Chained-CTE replay of the exact-integer LTTB sweep (one CTE pair per
+    bucket step, the _ivf_trained_sql pattern — recursion with a FIXED small
+    step count needs no recursive CTE): bucket bounds are pure integer
+    division, the effective-area argmax is an all-BIGINT cross product with
+    first-max/smallest-index tiebreak, so both engines select identical
+    points with zero float arithmetic anywhere."""
+    nb = n_out - 2
+    sql = """
+    WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
+                   FROM events GROUP BY 1, 2),
+    pts AS (SELECT event_type AS key, bucket_ts, load,
+                   CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket_ts) - 1 AS BIGINT) AS i,
+                   CAST(epoch(bucket_ts) AS BIGINT)
+                     - CAST(min(epoch(bucket_ts)) OVER (PARTITION BY event_type) AS BIGINT) AS t,
+                   CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM hload),
+    s0 AS (SELECT key, CAST(0 AS BIGINT) AS si FROM pts WHERE i = 0)"""
+    for i in range(nb):
+        sql += """,
+    a{i} AS (SELECT key, count(*) AS na, sum(t) AS st, sum(load) AS sv
+             FROM pts
+             WHERE i >= LEAST(1 + ({i1} * (n - 2)) // {nb}, n)
+               AND i <  LEAST(1 + ({i2} * (n - 2)) // {nb}, n)
+             GROUP BY key),
+    s{i1} AS (SELECT key, ci AS si FROM (
+        SELECT p.key, p.i AS ci,
+               row_number() OVER (PARTITION BY p.key ORDER BY
+                 abs((ps.t * a.na - a.st) * (p.load - ps.load)
+                     - (ps.t - p.t) * (a.sv - a.na * ps.load)) DESC,
+                 p.i ASC) AS rk
+        FROM pts p
+        JOIN s{i} s ON s.key = p.key
+        JOIN pts ps ON ps.key = p.key AND ps.i = s.si
+        JOIN a{i} a ON a.key = p.key
+        WHERE p.i >= LEAST(1 + ({i} * (p.n - 2)) // {nb}, p.n)
+          AND p.i <  LEAST(1 + ({i1} * (p.n - 2)) // {nb}, p.n)
+      ) WHERE rk = 1)""".replace("{i1}", str(i + 1)).replace(
+            "{i2}", str(i + 2)
+        ).replace("{i}", str(i)).replace("{nb}", str(nb))
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM s{j}" for j in range(nb + 1)
+    ) + " UNION ALL SELECT key, max(i) AS si FROM pts GROUP BY key"
+    sql += f""",
+    allsel AS ({unions})
+    SELECT p.key AS event_type, p.bucket_ts, p.load,
+           CAST(row_number() OVER (PARTITION BY p.key ORDER BY p.i) - 1 AS INT) AS sel_pos
+    FROM allsel a2 JOIN pts p ON p.key = a2.key AND p.i = a2.si
+    """
+    return sql
+
+
+@_q("lttb_downsample_1h", _lttb_sql())
+def lttb_downsample_1h(spark, sf_dir):
+    """LTTB perceptual downsampling of the hourly tier to 12 points per key
+    (operators/downsample.lttb_downsample — the sequential companion to the
+    algebraic M4): exact-integer effective-area argmax (n-scaled cross
+    product, BIGINT throughout) makes the sweep deterministic across
+    engines; DuckDB replays every bucket step via chained CTEs."""
+    from mtsad_spark.operators.downsample import lttb_downsample
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hload = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("load"))
+    out = lttb_downsample(hload, ["event_type"], "bucket_ts", "load", 12)
+    return out.select("event_type", "bucket_ts", "load", "sel_pos")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4114,6 +4185,7 @@ _PRIORITY = [
     # this form
     "cusum_scores_1h",
     "time_weighted_avg_1d",
+    "lttb_downsample_1h",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

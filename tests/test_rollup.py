@@ -288,3 +288,90 @@ def test_histogram_quantile_interpolation(spark):
     hb = histogram_rollup_tiers(big, "ts", "value", ["k"], 0.0, 100.0, 10)["1m"]
     over = histogram_quantile(hb, ["k"], 0.9, 0.0, 100.0, 10).collect()[0]
     assert over["q_est"] == 100.0
+
+
+def test_lttb_downsample_vs_python_reference(spark):
+    """The Arrow kernel must equal an independent pure-python LTTB sweep
+    using the same exact-integer area (Fraction-free: the n-scaled cross
+    product IS the rational comparison), on a shaped series with a spike
+    the downsample must keep."""
+    import datetime as dt
+
+    from mtsad_spark.operators.downsample import lttb_downsample
+
+    rng = np.random.default_rng(11)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for key in ("a", "b"):
+        n = 500 if key == "a" else 37
+        v = np.cumsum(rng.integers(-3, 4, size=n)) * 100 + 10_000
+        spike = n // 3
+        v[spike] += 50_000  # a spike LTTB must select
+        ts = [t0 + dt.timedelta(minutes=7 * i) for i in range(n)]  # irregular-ish spacing ok
+        series[key] = (ts, v)
+        rows += [(key, ts[i], int(v[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    n_out = 20
+    got = (
+        lttb_downsample(df, ["key"], "ts", "v", n_out)
+        .toPandas()
+        .sort_values(["key", "sel_pos"])
+        .reset_index(drop=True)
+    )
+
+    def ref_lttb(ts, v, n_out):
+        n = len(v)
+        if n <= n_out:
+            return list(range(n))
+        t = [int((x - ts[0]).total_seconds()) for x in ts]
+        nb = n_out - 2
+        bounds = [min(1 + (j * (n - 2)) // nb, n) for j in range(n_out)]
+        a, sel = 0, [0]
+        for i in range(nb):
+            lo, hi = bounds[i], bounds[i + 1]
+            alo = bounds[i + 1]
+            ahi = bounds[i + 2] if i + 2 < len(bounds) else n
+            if ahi <= alo:
+                alo, ahi = n - 1, n
+            n_a = ahi - alo
+            st, sv = sum(t[alo:ahi]), int(sum(v[alo:ahi]))
+            best, best_area = None, -1
+            for c in range(lo, hi):
+                area = abs(
+                    (t[a] * n_a - st) * (int(v[c]) - int(v[a]))
+                    - (t[a] - t[c]) * (sv - n_a * int(v[a]))
+                )
+                if area > best_area:
+                    best, best_area = c, area
+            a = best
+            sel.append(a)
+        sel.append(n - 1)
+        return sel
+
+    for key in ("a", "b"):
+        ts, v = series[key]
+        sel = ref_lttb(ts, v, n_out)
+        sub = got[got.key == key]
+        assert len(sub) == min(n_out, len(v))
+        assert list(sub.v) == [int(v[i]) for i in sel]
+        assert list(sub.ts) == [ts[i] for i in sel]
+        # first/last always kept; the spike must survive for the long series
+        assert sub.sel_pos.iloc[0] == 0 and list(sub.sel_pos) == list(range(len(sub)))
+        if key == "a":
+            assert int(v[len(v) // 3]) in set(sub.v)
+    # key b (37 <= 20? no, 37 > 20) also downsampled; passthrough covered below
+
+
+def test_lttb_passthrough_and_validation(spark):
+    import datetime as dt
+
+    from mtsad_spark.operators.downsample import lttb_downsample
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [("k", t0 + dt.timedelta(hours=i), i * 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    got = lttb_downsample(df, ["key"], "ts", "v", 8).toPandas().sort_values("sel_pos")
+    assert len(got) == 5 and list(got.v) == [0, 10, 20, 30, 40]
+    with pytest.raises(ValueError):
+        lttb_downsample(df, ["key"], "ts", "v", 2)
