@@ -4167,6 +4167,60 @@ def lttb_downsample_1h(spark, sf_dir):
     return out.select("event_type", "bucket_ts", "load", "sel_pos")
 
 
+def _repeated_spans_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    n = 13
+    return f"""
+    WITH base AS (SELECT doc_id, tokens FROM '{SEQFIX_PATH}'),
+         corpus AS (SELECT doc_id, tokens FROM base
+                    UNION ALL
+                    SELECT 'cp-' || doc_id AS doc_id, tokens[12:41] AS tokens
+                    FROM base
+                    WHERE CAST(substr(doc_id, 5, 10) AS BIGINT) % 997 = 0),
+         pg AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+                       CAST('0x' || substr(md5(array_to_string(tokens[i:i+{n - 1}], ',')), 1, 15)
+                            AS BIGINT) AS ngram_key
+                FROM corpus, unnest(generate_series(1, len(tokens) - {n - 1})) AS t(i)),
+         shared AS (SELECT ngram_key FROM (SELECT DISTINCT doc_id, ngram_key FROM pg)
+                    GROUP BY ngram_key HAVING count(*) >= 2),
+         hit AS (SELECT doc_id, pos FROM pg JOIN shared USING (ngram_key)),
+         lg AS (SELECT doc_id, pos,
+                       lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS lagp
+                FROM hit),
+         isl AS (SELECT doc_id, pos,
+                        sum(CASE WHEN pos - lagp > {n} THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY doc_id ORDER BY pos) AS g
+                 FROM lg)
+    SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+           CAST(max(pos) + {n - 1} AS INT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, g
+    """
+
+
+@_q("repeated_spans_docs", _repeated_spans_sql())
+def repeated_spans_docs(spark, sf_dir):
+    """Intra-corpus repeated-passage spans (operators/dedup.repeated_spans —
+    the within-training-set form of the 13-gram decontamination family,
+    approximating Lee et al. 2022 substring dedup): every 997th doc gets a
+    planted copy of its tokens[12..41] passage, and both the source doc and
+    the copy must report the maximal repeated span (0-based inclusive token
+    bounds + matched-window count). Shared-key generation is bucket-local by
+    portable md5 keys; documents never join documents."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.operators.dedup import repeated_spans
+
+    seq = spark.read.parquet(ensure_seqfix()).select("doc_id", "tokens")
+    copies = seq.filter(
+        F.substring("doc_id", 5, 10).cast("long") % 997 == 0
+    ).select(
+        F.concat(F.lit("cp-"), F.col("doc_id")).alias("doc_id"),
+        F.slice("tokens", 12, 30).alias("tokens"),
+    )
+    return repeated_spans(seq.unionByName(copies), "doc_id", "tokens", n=13)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4186,6 +4240,7 @@ _PRIORITY = [
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",
+    "repeated_spans_docs",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

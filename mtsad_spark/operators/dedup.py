@@ -456,3 +456,91 @@ def ngram_contamination(
         .groupBy("holdout_id", "train_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 13,
+    min_df: int = 2,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Intra-corpus repeated-passage detection — the within-training-set
+    counterpart of :func:`ngram_contamination` (public practice: suffix-array
+    substring dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", approximated here by its n-gram-overlap form):
+    for every document, the MAXIMAL token spans whose every length-``n``
+    window also appears in at least ``min_df - 1`` OTHER documents.
+
+    Pipeline shape (100-TB discipline):
+
+    1. positional n-gram keys ``(id, pos, md5-60bit)`` — one row per
+       position, 8-byte keys on the shuffle (the portable-hash move of
+       :func:`token_ngrams`, which this generalizes by keeping positions);
+    2. shared-key set = keys whose DISTINCT-document frequency is in
+       ``[min_df, df_cap]`` — an algebraic, map-side-combined groupBy;
+       ``df_cap`` bounds hot boilerplate grams (explicit opt-in, visible
+       in-band as missing spans, same contract as ngram_contamination);
+    3. a semi-join of positions against that key set — documents are NEVER
+       joined to documents, so there is no pair blow-up anywhere;
+    4. gaps-and-islands merge per document: consecutive matched positions
+       with ``Δpos ≤ n`` overlap or touch, so a new span starts when
+       ``pos - lag(pos) > n``. The only sequential windows run PER DOCUMENT
+       over its matched positions — bounded by document token count (the
+       tier-points/retention-bounded contract), never a corpus-proportional
+       bare-key frame.
+
+    Returns ``(id, span_start, span_end, n_grams)`` — 0-based inclusive
+    token bounds of each maximal repeated span and the matched-window count
+    inside it (``span_end = last matched pos + n - 1``).
+    """
+    from pyspark.sql import Window
+
+    if min_df < 2:
+        raise ValueError("repeated_spans needs min_df >= 2 (a span must recur)")
+    grams = F.expr(
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ',')) "
+        f"ELSE array() END"
+    )
+    key = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
+    from mtsad_spark.plans.scope import scoped_persist
+
+    pg = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "_g")).select(
+        F.col(id_col), F.col("pos"), key.alias("ngram_key")
+    )
+    # pg feeds BOTH the doc-frequency aggregate and the position join —
+    # persist or the corpus-wide explode/hash runs twice (repo rule)
+    pg = scoped_persist(pg)
+    docs_per_key = (
+        pg.select(id_col, "ngram_key")
+        .distinct()
+        .groupBy("ngram_key")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    cond = F.col("_df") >= min_df
+    if df_cap is not None:
+        cond = cond & (F.col("_df") <= df_cap)
+    shared = docs_per_key.filter(cond).select("ngram_key")
+    hit = pg.join(shared, "ngram_key").select(id_col, "pos")
+    wd = Window.partitionBy(id_col).orderBy("pos")
+    isl = (
+        hit.withColumn(
+            "_brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wd) > F.lit(n), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_isl",
+            F.sum("_brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .drop("_brk")
+    )
+    return isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").cast("int").alias("span_start"),
+        (F.max("pos") + F.lit(n - 1)).cast("int").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).drop("_isl")

@@ -437,3 +437,63 @@ def test_hot_bucket_guard_embedding_pathological_corpus(spark):
         emb.filter(F.col("vec_id") < 30), dim=8, threshold=0.9, max_bucket=100
     )
     assert small.count() == 30 * 29 // 2
+
+
+def test_repeated_spans_vs_python_oracle(spark):
+    """repeated_spans must equal a brute-force python sweep: shared-n-gram
+    positions merged into maximal spans, min_df/df_cap honored."""
+    from mtsad_spark.operators.dedup import repeated_spans
+
+    rng = np.random.default_rng(7)
+    n = 4
+    vocab = 50_000  # collisions across random docs ~impossible
+    docs = {}
+    base = rng.integers(0, vocab, size=120).tolist()
+    passage = base[30:55]  # 25-token passage planted into several docs
+    docs["d0"] = base
+    docs["d1"] = rng.integers(0, vocab, size=40).tolist() + passage
+    docs["d2"] = passage[:15] + rng.integers(0, vocab, size=60).tolist() + passage[10:]
+    docs["d3"] = rng.integers(0, vocab, size=80).tolist()  # no dup content
+    docs["d4"] = rng.integers(0, vocab, size=2).tolist()  # shorter than n
+    hot = [1, 2, 3, 4]  # a gram planted in MANY docs to exercise df_cap
+    for i in range(5, 12):
+        docs[f"d{i}"] = rng.integers(0, vocab, size=10).tolist() + hot
+
+    rows = [(k, [int(x) for x in v]) for k, v in docs.items()]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def oracle(min_df, df_cap):
+        grams = {}  # gram -> set(doc)
+        for k, v in docs.items():
+            for i in range(len(v) - n + 1):
+                grams.setdefault(tuple(v[i : i + n]), set()).add(k)
+        ok = {
+            g
+            for g, ds in grams.items()
+            if len(ds) >= min_df and (df_cap is None or len(ds) <= df_cap)
+        }
+        out = []
+        for k, v in docs.items():
+            pos = [i for i in range(len(v) - n + 1) if tuple(v[i : i + n]) in ok]
+            spans = []
+            for p in pos:
+                if spans and p - spans[-1][1] <= n:
+                    spans[-1][1] = p
+                    spans[-1][2] += 1
+                else:
+                    spans.append([p, p, 1])
+            out += [(k, s, e + n - 1, c) for s, e, c in spans]
+        return sorted(out)
+
+    for min_df, df_cap in [(2, None), (2, 5), (3, None)]:
+        got = sorted(
+            tuple(r)
+            for r in repeated_spans(
+                df, "doc_id", "tokens", n=n, min_df=min_df, df_cap=df_cap
+            )
+            .select("doc_id", "span_start", "span_end", "n_grams")
+            .collect()
+        )
+        assert got == oracle(min_df, df_cap), (min_df, df_cap)
+    with pytest.raises(ValueError):
+        repeated_spans(df, "doc_id", "tokens", min_df=1)
