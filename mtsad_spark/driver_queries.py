@@ -4221,6 +4221,69 @@ def repeated_spans_docs(spark, sf_dir):
     return repeated_spans(seq.unionByName(copies), "doc_id", "tokens", n=13)
 
 
+def _mixture_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH docs AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok
+                  FROM '{SEQFIX_PATH}'),
+         bud AS (SELECT CAST(sum(n_tok) * 35 // 100 AS BIGINT) AS B FROM docs),
+         tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot
+                 FROM docs GROUP BY 1),
+         s1 AS (SELECT source, tot,
+                       CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS s0
+                FROM tot),
+         w AS (SELECT source, tot,
+                      s0 - CASE WHEN s0 * s0 > tot THEN 1 ELSE 0 END
+                         + CASE WHEN (s0 + 1) * (s0 + 1) <= tot THEN 1 ELSE 0 END AS wt
+               FROM s1),
+         tw AS (SELECT source, tot, wt,
+                       CAST(sum(wt) OVER () AS BIGINT) AS wsum, B
+                FROM w, bud),
+         ap AS (SELECT source, tot, B,
+                       CAST(CAST(B AS HUGEINT) * wt // wsum AS BIGINT) AS base,
+                       CAST(CAST(B AS HUGEINT) * wt % wsum AS BIGINT) AS rem
+                FROM tw),
+         lo AS (SELECT source, tot, base,
+                       CAST(B - sum(base) OVER () AS BIGINT) AS L,
+                       row_number() OVER (ORDER BY rem DESC, source) AS rk
+                FROM ap),
+         q AS (SELECT source,
+                      LEAST(base + CASE WHEN rk <= L THEN 1 ELSE 0 END, tot) AS quota
+               FROM lo),
+         h AS (SELECT source, doc_id, n_tok,
+                      CAST('0x' || substr(md5('42|' || doc_id), 1, 15) AS BIGINT) AS hv
+               FROM docs),
+         c AS (SELECT source, doc_id, n_tok, hv,
+                      CAST(sum(n_tok) OVER (PARTITION BY source
+                                            ORDER BY hv, doc_id) AS BIGINT) AS cum_tok
+               FROM h)
+    SELECT c.source, c.doc_id, c.n_tok, c.cum_tok, CAST(q.quota AS BIGINT) AS quota
+    FROM c JOIN q USING (source) WHERE cum_tok <= quota
+    """
+
+
+@_q("mixture_sample_seqfix", _mixture_sql())
+def mixture_sample_seqfix(spark, sf_dir):
+    """Token-budget mixture resampling (operators/splits.mixture_token_sample
+    — the α=0.5 temperature data-mixing step of an LLM training pipeline):
+    35% of the corpus's tokens apportioned across sources by exact
+    largest-remainder rounding over isqrt weights, documents then selected
+    per source in deterministic md5 hash order until the quota fills. The
+    oracle's serial per-source window is the semantic spec; the engine runs
+    the bucket-composed prefix sum with quota-reached bucket pruning. The
+    single driver-side collect is the 1-row corpus token total (bounded)."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.operators.splits import mixture_token_sample
+
+    seq = spark.read.parquet(ensure_seqfix()).select("source", "doc_id", "n_tok")
+    total = seq.agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0]
+    out = mixture_token_sample(
+        seq, "source", "doc_id", "n_tok", int(total) * 35 // 100
+    )
+    return out.select("source", "doc_id", "n_tok", "cum_tok", "quota")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4241,6 +4304,7 @@ _PRIORITY = [
     "time_weighted_avg_1d",
     "lttb_downsample_1h",
     "repeated_spans_docs",
+    "mixture_sample_seqfix",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -519,3 +519,72 @@ def test_compact_to_gorilla_cold_tier(spark, events, tmp_path):
     got3 = snap("1m")
     for c in ("cnt", "s1", "s2", "vmin", "vmax"):
         assert (got3[c].values == exp[c].values).all(), c
+
+
+def test_mixture_token_sample_vs_python_oracle(spark):
+    """Quotas must match a python Hamilton apportionment over isqrt weights,
+    and the greedy hash-order selection must match an md5-sorted cumsum —
+    including the capped-quota (unmet) path and partitioning invariance."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from mtsad_spark.operators.splits import mixture_quotas, mixture_token_sample
+
+    rng = np.random.default_rng(3)
+    rows = []
+    sizes = {"web": 60, "code": 20, "wiki": 5, "tiny": 2}
+    for src, nd in sizes.items():
+        for j in range(nd):
+            rows.append((src, f"{src}-{j:04d}", int(rng.integers(40, 400))))
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    toks = {s: sum(t for ss, _, t in rows if ss == s) for s in sizes}
+    total = sum(toks.values())
+
+    def py_quotas(budget, sqrt_w):
+        w = {s: (math.isqrt(t) if sqrt_w else t) for s, t in toks.items()}
+        W = sum(w.values())
+        base = {s: budget * w[s] // W for s in w}
+        rem = {s: budget * w[s] % W for s in w}
+        left = budget - sum(base.values())
+        order = sorted(w, key=lambda s: (-rem[s], s))
+        raw = {
+            s: base[s] + (1 if order.index(s) < left else 0) for s in w
+        }
+        return {s: (min(raw[s], toks[s]), max(raw[s] - toks[s], 0)) for s in w}
+
+    for budget, sqrt_w in [(total // 3, True), (total // 3, False), (total * 2, True)]:
+        want = py_quotas(budget, sqrt_w)
+        got = {
+            r["source"]: (r["quota"], r["unmet"])
+            for r in mixture_quotas(df, "source", "n_tok", budget, sqrt_w).collect()
+        }
+        assert got == want, (budget, sqrt_w)
+
+    # sqrt weights upweight 'tiny' far beyond its totals at a big budget
+    assert py_quotas(total * 2, True)["tiny"][1] > 0
+
+    budget = total // 3
+    want_q = py_quotas(budget, True)
+    sel = mixture_token_sample(df, "source", "doc_id", "n_tok", budget).toPandas()
+
+    def py_select(src):
+        docs = [(d, t) for ss, d, t in rows if ss == src]
+        docs.sort(key=lambda x: (int(hashlib.md5(f"42|{x[0]}".encode()).hexdigest()[:15], 16), x[0]))
+        out, cum = [], 0
+        for d, t in docs:
+            if cum + t <= want_q[src][0]:
+                cum += t
+                out.append((d, cum))
+        return out
+
+    for src in sizes:
+        sub = sel[sel.source == src].sort_values("cum_tok")
+        assert list(zip(sub.doc_id, sub.cum_tok)) == py_select(src), src
+        assert (sub.quota == want_q[src][0]).all()
+
+    sel2 = mixture_token_sample(
+        df.repartition(13), "source", "doc_id", "n_tok", budget
+    ).toPandas()
+    assert sorted(sel2.doc_id) == sorted(sel.doc_id)
