@@ -4284,6 +4284,60 @@ def mixture_sample_seqfix(spark, sf_dir):
     return out.select("source", "doc_id", "n_tok", "cum_tok", "quota")
 
 
+@_q(
+    "rolling_corr_24h",
+    """
+    WITH h AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+               FROM events GROUP BY 1, 2),
+         j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                      a.bucket_ts, a.cents AS x, b.cents AS y
+               FROM h a JOIN h b USING (bucket_ts)
+               WHERE a.event_type < b.event_type),
+         wnd AS (SELECT type_a, type_b, bucket_ts,
+                        count(*) OVER wf AS n,
+                        sum(x) OVER wf AS sx, sum(y) OVER wf AS sy,
+                        sum(x * y) OVER wf AS sxy,
+                        sum(x * x) OVER wf AS sxx,
+                        sum(y * y) OVER wf AS syy
+                 FROM j
+                 WINDOW wf AS (PARTITION BY type_a, type_b ORDER BY bucket_ts
+                               ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT type_a, type_b, bucket_ts,
+           CAST(24 * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(24 * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(24 * syy - sy * sy AS DOUBLE))) AS corr
+    FROM wnd
+    WHERE n = 24 AND 24 * sxx - sx * sx > 0 AND 24 * syy - sy * sy > 0
+    """,
+)
+def rolling_corr_24h(spark, sf_dir):
+    """Trailing-24h Pearson correlation between every event-type pair's
+    hourly cent-sum series (operators/stats.rolling_corr — the windowed form
+    of cross_series_correlation): all moments BIGINT, the single float step
+    is num/(sqrt·sqrt) on exactly-representable integers — bitwise across
+    engines, no rounding. Pairs align by an hourly-tier self equi-join
+    (rollup-sized, never raw-event-sized)."""
+    from mtsad_spark.operators.stats import rolling_corr
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("cents"))
+    a = h.select(
+        F.col("event_type").alias("type_a"), "bucket_ts", F.col("cents").alias("x")
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"), "bucket_ts", F.col("cents").alias("y")
+    )
+    j = a.join(b, "bucket_ts").filter(F.col("type_a") < F.col("type_b"))
+    out = rolling_corr(j, ["type_a", "type_b"], "bucket_ts", "x", "y", 24)
+    return out.filter(F.col("corr").isNotNull()).select(
+        "type_a", "type_b", "bucket_ts", "corr"
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4305,6 +4359,7 @@ _PRIORITY = [
     "lttb_downsample_1h",
     "repeated_spans_docs",
     "mixture_sample_seqfix",
+    "rolling_corr_24h",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

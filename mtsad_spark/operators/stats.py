@@ -345,3 +345,60 @@ def counter_rate(
         out_col,
         F.when(prev_c.isNotNull() & (dt > 0), F.col("increase") / dt),
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int,
+    out_col: str = "corr",
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two ALIGNED integer
+    series — the windowed form of the full-series correlation join
+    (`driver_queries.cross_series_correlation`; cf. the published
+    correlation-joins-over-time-series line of work). Beyond-reference
+    LLM/observability surface: drifting cross-metric correlation is a
+    standard change-detection signal the point-wise scorers can't see.
+
+    Exactness contract: ``x_col``/``y_col`` must be integral (cents /
+    counts). All five window sums (Σx, Σy, Σxy, Σx², Σy²) and the three
+    moment combinations ``n·Σxy − Σx·Σy`` etc. stay BIGINT — caller must
+    keep ``window · max|x| · max|y| < 2^63`` (hourly cent-sums are orders
+    below) — so the ONE float step is ``num / (sqrt(d1) · sqrt(d2))`` on
+    exactly-representable integers: bitwise-identical in any engine, no
+    rounding anywhere (the seasonal_residual discipline).
+
+    The window is the trailing ``window`` POINTS per key in ``order_col``
+    order (row frame, not a time range — compose with gap_fill first if
+    missing buckets must count). Rows with an incomplete frame, or zero
+    variance in either series over the frame, emit NULL.
+
+    Runs over TIER points (per-key rows bounded by retention), the
+    zscore_roll24 window contract — never raw events.
+    """
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    x, y = F.col(x_col).cast("long"), F.col(y_col).cast("long")
+    b = (
+        df.withColumn("_n", F.count(F.lit(1)).over(wf))
+        .withColumn("_sx", F.sum(x).over(wf))
+        .withColumn("_sy", F.sum(y).over(wf))
+        .withColumn("_sxy", F.sum(x * y).over(wf))
+        .withColumn("_sxx", F.sum(x * x).over(wf))
+        .withColumn("_syy", F.sum(y * y).over(wf))
+    )
+    n = F.lit(window).cast("long")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d1 = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    d2 = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    corr = F.when(
+        (F.col("_n") == window) & (d1 > 0) & (d2 > 0),
+        num.cast("double") / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+    )
+    return b.withColumn(out_col, corr).drop("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")

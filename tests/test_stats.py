@@ -221,3 +221,47 @@ def test_counter_rate_handles_resets_like_prometheus(spark):
     assert got["increase"].isna().iloc[0] and got["rate"].isna().iloc[0]
     assert list(got["increase"].iloc[1:]) == [60, 240, 30, 60]
     assert list(got["rate"].iloc[1:]) == [1.0, 2.0, 0.5, 1.0]
+
+
+def test_rolling_corr_vs_numpy(spark):
+    """rolling_corr must equal np.corrcoef over every complete trailing
+    window, emit NULL for incomplete frames and zero-variance windows, and
+    be bitwise-identical to the integer-moment formula."""
+    import numpy as np
+
+    from mtsad_spark.operators.stats import rolling_corr
+
+    rng = np.random.default_rng(5)
+    n, w = 60, 12
+    x = rng.integers(-500, 500, size=n)
+    y = (x // 2 + rng.integers(-100, 100, size=n)).astype(np.int64)
+    y[40:40 + w] = 7  # a zero-variance y window
+    rows = [("k", int(i), int(x[i]), int(y[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, t int, x long, y long")
+    got = (
+        rolling_corr(df, ["key"], "t", "x", "y", w)
+        .orderBy("t")
+        .select("t", "corr")
+        .collect()
+    )
+    assert len(got) == n
+    for r in got:
+        i = r["t"]
+        if i < w - 1:
+            assert r["corr"] is None, i
+            continue
+        xs, ys = x[i - w + 1 : i + 1], y[i - w + 1 : i + 1]
+        if xs.std() == 0 or ys.std() == 0:
+            assert r["corr"] is None, i
+            continue
+        want = np.corrcoef(xs, ys)[0, 1]
+        assert abs(r["corr"] - want) < 1e-12, (i, r["corr"], want)
+        # exact integer-moment recompute must be BITWISE equal
+        sx, sy = int(xs.sum()), int(ys.sum())
+        sxy = int((xs.astype(object) * ys.astype(object)).sum())
+        sxx, syy = int((xs.astype(object) ** 2).sum()), int((ys.astype(object) ** 2).sum())
+        num = w * sxy - sx * sy
+        d1, d2 = w * sxx - sx * sx, w * syy - sy * sy
+        assert r["corr"] == float(num) / (
+            np.sqrt(float(d1)) * np.sqrt(float(d2))
+        ), i
