@@ -4338,6 +4338,36 @@ def rolling_corr_24h(spark, sf_dir):
     )
 
 
+@_q(
+    "tfidf_top_terms_docs",
+    r"""
+    WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents),
+         tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2),
+         d AS (SELECT token, count(*) AS dfreq FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS nd FROM documents),
+         s AS (SELECT tf.doc_id, tf.token, tf.tf,
+                      tf.tf * CAST(round(ln((nd + 1.0) / (dfreq + 1.0)) * 1000000, 0)
+                                   AS BIGINT) AS score_micro
+               FROM tf JOIN d USING (token), n),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_micro DESC, token) AS INT) AS rk
+               FROM s)
+    SELECT doc_id, token, tf, score_micro, rk FROM r WHERE rk <= 5
+    """,
+)
+def tfidf_top_terms_docs(spark, sf_dir):
+    """Top-5 TF-IDF keywords per document (functions/text.tfidf_top_terms):
+    smoothed idf ln((N+1)/(df+1)) rounded to a micro-int per distinct df
+    BEFORE the tf multiply (margins to the rounding boundary measured at
+    ~7e-3 micro vs ~1e-9 cross-engine ln noise at sf0.001/0.01/0.1), so
+    scores are BIGINT and the per-doc ranking is float-free."""
+    from mtsad_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=5)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4360,6 +4390,7 @@ _PRIORITY = [
     "repeated_spans_docs",
     "mixture_sample_seqfix",
     "rolling_corr_24h",
+    "tfidf_top_terms_docs",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -155,3 +155,63 @@ def rolling_polynomial_fingerprints(
         code = F.ascii(F.substr(F.col("_norm"), F.col("p") + F.lit(j + 1), F.lit(1)))
         h = (h * base + code) % mod
     return d.select(F.col(id_col), "pos", h.alias("fp"))
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document — the classic
+    characteristic-term extractor (public IR practice; smoothed idf
+    ``ln((N+1)/(df+1))`` of scikit-learn's ``smooth_idf`` family) over the
+    whitespace tokenization the quality/token-count ops use.
+
+    Exactness: idf is rounded to a MICRO-INT per distinct document
+    frequency BEFORE any multiplication (the token_unigram_logprob ln
+    discipline — cross-engine ln noise is ~1e-9 micro-units; fixture
+    margins to the rounding boundary were measured at ~1e-2), so
+    ``score_micro = tf · idf_micro`` is BIGINT-exact and the per-doc
+    ranking (score desc, token asc) is engine-independent with no float
+    comparisons anywhere.
+
+    Scale shape: tf is a map-side-combined (doc, token) count; df an
+    algebraic token count over it; N one scalar agg crossJoined (AQE
+    broadcasts the 1-row frame). The only windows run per DOCUMENT over its
+    distinct tokens — doc-bounded, never corpus-proportional. The tf frame
+    feeds both the df aggregate and the score join, so it is
+    scope-persisted.
+
+    Returns ``(id, token, tf, score_micro, rk)`` with ``rk`` in 1..k.
+    """
+    from pyspark.sql import Window
+
+    from mtsad_spark.plans.scope import scoped_persist
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")  # Spark split keeps boundary empties
+    tf = scoped_persist(
+        tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    n = df.agg(F.count(F.lit(1)).alias("_N"))
+    idf_micro = F.round(
+        F.log((F.col("_N") + F.lit(1)).cast("double") / (F.col("_df") + F.lit(1)))
+        * F.lit(1_000_000),
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(n)
+        .withColumn("score_micro", F.col("tf") * idf_micro)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", "tf", "score_micro", "rk")
+    )

@@ -497,3 +497,46 @@ def test_repeated_spans_vs_python_oracle(spark):
         assert got == oracle(min_df, df_cap), (min_df, df_cap)
     with pytest.raises(ValueError):
         repeated_spans(df, "doc_id", "tokens", min_df=1)
+
+
+def test_tfidf_top_terms_vs_python(spark):
+    """tfidf_top_terms must equal a pure-python recompute (micro-int idf,
+    integer scores, score-desc/token-asc ranking), including tie cases."""
+    import math
+
+    from mtsad_spark.functions.text import tfidf_top_terms
+
+    docs = {
+        1: "apple banana apple cherry apple",
+        2: "banana banana cherry date",
+        3: "cherry  date\tegg egg egg fig",   # runs of whitespace
+        4: "apple apple apple apple",
+        5: "zeta zeta yam yam",               # exact tie -> token asc
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = (
+        tfidf_top_terms(df, "doc_id", "text", k=3)
+        .toPandas()
+        .sort_values(["doc_id", "rk"])
+        .reset_index(drop=True)
+    )
+
+    toks = {d: [t for t in txt.split() if t] for d, txt in docs.items()}
+    N = len(docs)
+    dfreq = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = []
+    for d, ts in toks.items():
+        scores = {}
+        for t in set(ts):
+            idf_micro = round(math.log((N + 1) / (dfreq[t] + 1)) * 1e6)
+            scores[t] = ts.count(t) * int(idf_micro)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        want += [
+            (d, t, ts.count(t), s, i + 1) for i, (t, s) in enumerate(top)
+        ]
+    assert sorted(tuple(r) for r in got.itertuples(index=False)) == sorted(want)
+    with pytest.raises(ValueError):
+        tfidf_top_terms(df, "doc_id", "text", k=0)
