@@ -4368,6 +4368,65 @@ def tfidf_top_terms_docs(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), "doc_id", "text", k=5)
 
 
+def _token_drift_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH, VOCAB
+
+    v, w = VOCAB, 900
+    return f"""
+    WITH tok AS (SELECT make_timestamp(((epoch(ingest_ts)::BIGINT // {w}) * {w}) * 1000000) AS b,
+                        unnest(tokens) AS token
+                 FROM '{SEQFIX_PATH}'),
+         c AS (SELECT b, token, CAST(count(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY 1, 2),
+         t AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+         pairjoin AS (SELECT coalesce(cur.b, prv.b) AS b,
+                             coalesce(cur.cnt, 0) + 1 AS cc,
+                             coalesce(prv.cnt, 0) + 1 AS cp
+                      FROM c cur FULL OUTER JOIN
+                           (SELECT make_timestamp((epoch(b)::BIGINT + {w}) * 1000000) AS b,
+                                   token, cnt FROM c) prv
+                           USING (b, token)),
+         u AS (SELECT p.b, p.cc, p.cp, tc.tot + {v} AS tcc, tpv.tot + {v} AS tpp
+               FROM pairjoin p
+               JOIN t tc ON tc.b = p.b
+               JOIN (SELECT make_timestamp((epoch(b)::BIGINT + {w}) * 1000000) AS b, tot
+                     FROM t) tpv ON tpv.b = p.b),
+         lnms AS (SELECT b, cc, tcc, tpp,
+                         CAST(round(ln(CAST(cc * tpp AS DOUBLE)
+                                       / CAST(cp * tcc AS DOUBLE)) * 1000000, 0)
+                              AS BIGINT) AS lnm
+                  FROM u),
+         terms AS (SELECT b, tcc, tpp,
+                          CAST(count(*) AS BIGINT) AS n_union,
+                          CAST(sum(cc * lnm) AS BIGINT) AS s
+                   FROM lnms GROUP BY 1, 2, 3)
+    SELECT b AS bucket_ts, n_union,
+           CAST(s + ({v} - n_union)
+                    * CAST(round(ln(CAST(tpp AS DOUBLE) / CAST(tcc AS DOUBLE))
+                                 * 1000000, 0) AS BIGINT) AS DOUBLE)
+             / (CAST(tcc AS DOUBLE) * 1e6) AS kl
+    FROM terms
+    """
+
+
+@_q("token_drift_15m_seqfix", _token_drift_sql())
+def token_drift_15m_seqfix(spark, sf_dir):
+    """Bucket-over-bucket token-distribution drift (functions/text.
+    token_distribution_drift — the tier-timeseries × tokens fusion):
+    add-one-smoothed KL(P_cur ‖ P_prev) per 15-minute ingest bucket over
+    the tokenized-sequences corpus. Every per-token term is a micro-int ln
+    of an exactly-representable integer ratio (margins measured 2e-4 micro
+    vs ~1e-9 cross-engine ln noise), the unseen-token mass collapses into
+    a closed-form complement, and the only float emission is ONE division
+    of the exact BIGINT term sum — bitwise across engines and
+    parallelism."""
+    from mtsad_spark.fixture_cache import VOCAB, ensure_seqfix
+    from mtsad_spark.functions.text import token_distribution_drift
+
+    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    return token_distribution_drift(seq, "ingest_ts", "tokens", 900, VOCAB)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4391,6 +4450,7 @@ _PRIORITY = [
     "mixture_sample_seqfix",
     "rolling_corr_24h",
     "tfidf_top_terms_docs",
+    "token_drift_15m_seqfix",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

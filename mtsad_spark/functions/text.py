@@ -215,3 +215,87 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select(id_col, "token", "tf", "score_micro", "rk")
     )
+
+
+def token_distribution_drift(
+    df: DataFrame,
+    ts_col: str,
+    tokens_col: str,
+    bucket_width_s: int,
+    vocab: int,
+) -> DataFrame:
+    """Token-distribution drift between consecutive time buckets — the
+    tier-timeseries × tokens fusion: smoothed KL divergence
+    ``KL(P_cur ‖ P_prev)`` of add-one-smoothed per-bucket token
+    distributions (``p(t) = (cnt+1)/(total+V)``), the standard
+    corpus-mix / vocabulary-shift monitor for a training-data ingest
+    stream.
+
+    EXACT decomposition: with ``c' = cnt+1`` and ``T' = total+V`` integers,
+    each union-support term is ``c'_cur · lnm`` where
+    ``lnm = round(ln((c'_cur·T'_prev)/(c'_prev·T'_cur))·1e6)`` is a
+    MICRO-INT of an exactly-representable integer ratio (products stay
+    below 2^53 — contract: ``cnt·T < 2^53``), tokens unseen in BOTH
+    buckets collapse into the closed-form complement
+    ``(V − |union|)·round(ln(T'_prev/T'_cur)·1e6)``, and the ONLY float
+    emission is one division of the exact BIGINT term sum by
+    ``T'_cur·1e6`` — bitwise across engines, order-independent across
+    parallelism (integer partial sums, the sequences-rollup discipline).
+
+    Scale shape: the explode → (bucket, token) count is map-side combined;
+    the pair join is count-frame-sized (vocab-bounded per bucket), never
+    raw-token-sized; per-bucket totals are a #buckets-row frame.
+
+    Returns ``(bucket_ts, n_union, kl)`` for every bucket with a
+    predecessor; ``n_union`` = tokens observed in either bucket of the pair.
+    """
+    from mtsad_spark.plans.scope import scoped_persist
+
+    if vocab < 1:
+        raise ValueError(f"vocab must be >= 1, got {vocab}")
+    w = F.lit(int(bucket_width_s)).cast("long")
+    bucket = (
+        (F.col(ts_col).cast("timestamp").cast("long") / w).cast("long") * w
+    ).cast("timestamp")
+    tok = df.select(bucket.alias("bucket_ts"), F.explode(tokens_col).alias("token"))
+    cnts = scoped_persist(
+        tok.groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = cnts.groupBy("bucket_ts").agg(F.sum("cnt").alias("tot"))
+    tprev = totals.select(
+        (F.col("bucket_ts").cast("long") + w).cast("timestamp").alias("bucket_ts"),
+        F.col("tot").alias("tot_prev"),
+    )
+    pairs = totals.join(tprev, "bucket_ts")  # buckets having a predecessor
+    cur = cnts.select("bucket_ts", "token", F.col("cnt").alias("c_cur"))
+    prv = cnts.select(
+        (F.col("bucket_ts").cast("long") + w).cast("timestamp").alias("bucket_ts"),
+        "token",
+        F.col("cnt").alias("c_prev"),
+    )
+    u = (
+        cur.join(prv, ["bucket_ts", "token"], "full_outer")
+        .join(pairs, "bucket_ts")  # inner: drops edge buckets with no pair
+        .withColumn("_cc", F.coalesce(F.col("c_cur"), F.lit(0)) + F.lit(1))
+        .withColumn("_cp", F.coalesce(F.col("c_prev"), F.lit(0)) + F.lit(1))
+    )
+    tc = F.col("tot") + F.lit(int(vocab))
+    tp = F.col("tot_prev") + F.lit(int(vocab))
+    lnm = F.round(
+        F.log((F.col("_cc") * tp).cast("double") / (F.col("_cp") * tc).cast("double"))
+        * F.lit(1_000_000),
+        0,
+    ).cast("long")
+    terms = u.groupBy("bucket_ts", "tot", "tot_prev").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("_cc") * lnm).alias("_s"),
+    )
+    lnm0 = F.round(
+        F.log(tp.cast("double") / tc.cast("double")) * F.lit(1_000_000), 0
+    ).cast("long")
+    total_micro = F.col("_s") + (F.lit(int(vocab)) - F.col("n_union")) * lnm0
+    return terms.select(
+        "bucket_ts",
+        "n_union",
+        (total_micro.cast("double") / (tc.cast("double") * F.lit(1e6))).alias("kl"),
+    )

@@ -540,3 +540,59 @@ def test_tfidf_top_terms_vs_python(spark):
     assert sorted(tuple(r) for r in got.itertuples(index=False)) == sorted(want)
     with pytest.raises(ValueError):
         tfidf_top_terms(df, "doc_id", "text", k=0)
+
+
+def test_token_distribution_drift_vs_python(spark):
+    """token_distribution_drift must equal a python recompute of the exact
+    integer decomposition AND approximate the textbook smoothed KL."""
+    import datetime as dt
+    import math
+
+    from mtsad_spark.functions.text import token_distribution_drift
+
+    rng = np.random.default_rng(13)
+    V = 40
+    t0 = dt.datetime(2024, 1, 1)
+    buckets = {}
+    buckets[0] = rng.integers(0, 20, size=300).tolist()          # low ids
+    buckets[1] = rng.integers(0, 20, size=280).tolist()          # similar
+    buckets[2] = rng.integers(10, 40, size=350).tolist()         # shifted
+    rows = []
+    for b, toks in buckets.items():
+        for j in range(0, len(toks), 50):  # several docs per bucket
+            rows.append(
+                (t0 + dt.timedelta(seconds=600 * b + j // 50), toks[j : j + 50])
+            )
+    df = spark.createDataFrame(rows, "ts timestamp, tokens array<int>")
+    got = {
+        r["bucket_ts"]: (r["n_union"], r["kl"])
+        for r in token_distribution_drift(df, "ts", "tokens", 600, V).collect()
+    }
+    assert len(got) == 2
+
+    def py_drift(prev, cur):
+        from collections import Counter
+
+        ca, cb = Counter(prev), Counter(cur)
+        ta, tb = len(prev) + V, len(cur) + V
+        union = sorted(set(ca) | set(cb))
+        s = 0
+        for t in union:
+            cc, cp = cb.get(t, 0) + 1, ca.get(t, 0) + 1
+            s += cc * round(math.log((cc * ta) / (cp * tb)) * 1e6)
+        s += (V - len(union)) * round(math.log(ta / tb) * 1e6)
+        kl_exact = float(s) / (float(tb) * 1e6)
+        kl_ref = sum(
+            ((cb.get(t, 0) + 1) / tb) * math.log(((cb.get(t, 0) + 1) / tb) / ((ca.get(t, 0) + 1) / ta))
+            for t in range(V)
+        )
+        return len(union), kl_exact, kl_ref
+
+    for b in (1, 2):
+        n_u, kl_exact, kl_ref = py_drift(buckets[b - 1], buckets[b])
+        bt = t0 + dt.timedelta(seconds=600 * b)
+        assert got[bt][0] == n_u, b
+        assert got[bt][1] == kl_exact, b          # bitwise vs the integer spec
+        assert abs(got[bt][1] - kl_ref) < 1e-4, b  # close to textbook KL
+    # the shifted bucket must show much larger drift than the similar one
+    assert got[t0 + dt.timedelta(seconds=1200)][1] > 5 * got[t0 + dt.timedelta(seconds=600)][1]
