@@ -4427,6 +4427,36 @@ def token_drift_15m_seqfix(spark, sf_dir):
     return token_distribution_drift(seq, "ingest_ts", "tokens", 900, VOCAB)
 
 
+@_q(
+    "fano_burstiness_1d",
+    """
+    WITH c AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 60 AS fb,
+                      CAST(count(*) AS BIGINT) AS cc
+               FROM events GROUP BY 1, 2),
+         g AS (SELECT event_type,
+                      make_timestamp((((fb * 60) // 86400) * 86400) * 1000000) AS bucket_ts,
+                      CAST(sum(cc) AS BIGINT) AS n_events,
+                      CAST(count(*) AS BIGINT) AS n_active_buckets,
+                      CAST(sum(cc * cc) AS BIGINT) AS s2
+               FROM c GROUP BY 1, 2)
+    SELECT event_type, bucket_ts, n_events, n_active_buckets,
+           CAST(1440 * s2 - n_events * n_events AS DOUBLE)
+             / CAST(1440 * n_events AS DOUBLE) AS fano
+    FROM g
+    """,
+)
+def fano_burstiness_1d(spark, sf_dir):
+    """Per-(event_type, day) burstiness as the Fano factor of 1-minute
+    event counts (operators/stats.fano_burstiness): empty-bucket-inclusive
+    variance/mean in one exact closed form — integer Σc, Σc² with the
+    constant 1440-bucket day, one bitwise float division, zero gap-fill
+    and zero per-event windows."""
+    from mtsad_spark.operators.stats import fano_burstiness
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    return fano_burstiness(ev, ["event_type"], "ts", 60, 86400)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4451,6 +4481,7 @@ _PRIORITY = [
     "rolling_corr_24h",
     "tfidf_top_terms_docs",
     "token_drift_15m_seqfix",
+    "fano_burstiness_1d",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

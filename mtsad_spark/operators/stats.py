@@ -402,3 +402,64 @@ def rolling_corr(
         num.cast("double") / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
     )
     return b.withColumn(out_col, corr).drop("_n", "_sx", "_sy", "_sxy", "_sxx", "_syy")
+
+
+def fano_burstiness(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    fine_width_s: int,
+    coarse_width_s: int,
+) -> DataFrame:
+    """Burstiness of an event stream per key and coarse window: the Fano
+    factor (variance-to-mean ratio, public point-process statistic;
+    Fano 1947) of fine-bucket event counts — ≈1 for Poisson arrivals,
+    ≫1 for bursty traffic. The tier-algebra replacement for per-event
+    inter-arrival statistics, whose raw-row per-key ordering is exactly
+    the corpus-proportional window shape this repo bans.
+
+    EXACT closed form over EMPTY-BUCKET-INCLUSIVE counts with zero
+    gap-filling: with ``m = coarse/fine`` buckets per window (constant),
+    ``n`` of them non-empty, Σc and Σc² integer sums over the non-empty
+    ones, population variance/mean is
+
+        fano = (m·Σc² − (Σc)²) / (m·Σc)
+
+    — empty buckets add nothing to either sum, so the spine never needs to
+    be materialized. Both sums are map-side-combined BIGINTs; the ONE float
+    step is the final division (bitwise across engines/parallelism).
+    Windows with no events are absent from the output (0/0); contract:
+    ``m·Σc² < 2^63``.
+
+    Returns ``(*keys, bucket_ts, n_events, n_active_buckets, fano)`` with
+    ``bucket_ts`` the coarse window start.
+    """
+    if coarse_width_s % fine_width_s:
+        raise ValueError(
+            f"coarse_width_s ({coarse_width_s}) must be a multiple of "
+            f"fine_width_s ({fine_width_s})"
+        )
+    m = coarse_width_s // fine_width_s
+    # TIMESTAMP_NTZ needs the cast-to-TIMESTAMP hop before numeric (the
+    # operators/joins._epoch lesson)
+    fine = F.expr(
+        f"CAST(CAST({ts_col} AS TIMESTAMP) AS LONG) div {fine_width_s}"
+    )
+    c = df.groupBy(
+        *keys, fine.alias("_fb")
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    g = c.groupBy(
+        *keys,
+        (F.floor(F.col("_fb") * fine_width_s / coarse_width_s) * coarse_width_s)
+        .cast("timestamp")
+        .alias("bucket_ts"),
+    ).agg(
+        F.sum("_c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_active_buckets"),
+        F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+    )
+    num = F.lit(m).cast("long") * F.col("_s2") - F.col("n_events") * F.col("n_events")
+    den = F.lit(m).cast("long") * F.col("n_events")
+    return g.withColumn(
+        "fano", num.cast("double") / den.cast("double")
+    ).drop("_s2")

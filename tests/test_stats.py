@@ -265,3 +265,47 @@ def test_rolling_corr_vs_numpy(spark):
         assert r["corr"] == float(num) / (
             np.sqrt(float(d1)) * np.sqrt(float(d2))
         ), i
+
+
+def test_fano_burstiness_vs_numpy(spark):
+    """Fano factor must equal numpy var_pop/mean over EMPTY-BUCKET-INCLUSIVE
+    fine counts, with Poisson ~1 and planted bursts >> 1."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mtsad_spark.operators.stats import fano_burstiness
+
+    rng = np.random.default_rng(17)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # key 'poisson': uniform arrivals over one hour
+    for s in sorted(rng.integers(0, 3600, size=2000).tolist()):
+        rows.append(("poisson", t0 + dt.timedelta(seconds=int(s))))
+    # key 'bursty': everything inside two 1-minute spikes
+    for s in sorted(rng.integers(0, 60, size=1000).tolist()):
+        rows.append(("bursty", t0 + dt.timedelta(seconds=int(s))))
+    for s in sorted(rng.integers(1800, 1860, size=1000).tolist()):
+        rows.append(("bursty", t0 + dt.timedelta(seconds=int(s))))
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    got = {
+        r["key"]: r
+        for r in fano_burstiness(df, ["key"], "ts", 60, 3600).collect()
+    }
+    assert len(got) == 2
+    for key in ("poisson", "bursty"):
+        counts = np.zeros(60, dtype=np.int64)
+        for k, ts in rows:
+            if k == key:
+                counts[int((ts - t0).total_seconds()) // 60] += 1
+        want = counts.var() / counts.mean()
+        r = got[key]
+        assert r["n_events"] == counts.sum()
+        assert r["n_active_buckets"] == int((counts > 0).sum())
+        assert abs(r["fano"] - want) < 1e-9, (key, r["fano"], want)
+        # bitwise vs the closed form
+        s, s2 = int(counts.sum()), int((counts**2).sum())
+        assert r["fano"] == float(60 * s2 - s * s) / float(60 * s)
+    assert got["bursty"]["fano"] > 50 * got["poisson"]["fano"]
+    with pytest.raises(ValueError):
+        fano_burstiness(df, ["key"], "ts", 60, 100)
