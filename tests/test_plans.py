@@ -444,3 +444,76 @@ def test_fit_joins_broadcast_via_aqe_without_hints(spark, events):
             assert "BroadcastHashJoin" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
+def test_r6_ops_plans_are_scale_clean(spark, events):
+    """r6 additions under the same static-plan bans: repeated_spans and
+    token_distribution_drift must stay equi-join/bucket-local (no
+    cartesian/nested-loop, no Python eval nodes, no broadcast hints on
+    corpus-proportional frames), and the mixture sampler's raw-row windows
+    must carry the hash bucket (its only bare-key windows run over the
+    #sources/#buckets aggregate frames)."""
+    from mtsad_spark.functions.text import tfidf_top_terms, token_distribution_drift
+    from mtsad_spark.operators.dedup import repeated_spans
+    from mtsad_spark.operators.splits import mixture_token_sample
+
+    seq = spark.createDataFrame(
+        [("d%d" % i, "s%d" % (i % 3), list(range(i, i + 30))) for i in range(50)],
+        "doc_id string, source string, tokens array<int>",
+    )
+    for q, allow_scalar_cross in (
+        (repeated_spans(seq, "doc_id", "tokens", n=13), False),
+        (
+            token_distribution_drift(
+                seq.withColumn(
+                    "ts", F.lit("2024-01-01 00:00:00").cast("timestamp")
+                ),
+                "ts",
+                "tokens",
+                900,
+                100,
+            ),
+            False,
+        ),
+        # tfidf cross-joins the ONE-ROW corpus-count aggregate (the keyless
+        # fit_join shape) — a broadcast nested-loop of a scalar is fine
+        (
+            tfidf_top_terms(
+                seq.select("doc_id", F.concat_ws(" ", "tokens").alias("text")),
+                "doc_id",
+                "text",
+            ),
+            True,
+        ),
+    ):
+        p = plan_of(q)
+        assert "CartesianProduct" not in p
+        if not allow_scalar_cross:
+            assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        assert "ResolvedHint" not in q._jdf.queryExecution().analyzed().toString()
+
+    m = mixture_token_sample(
+        seq.withColumn("n_tok", F.size("tokens")),
+        "source",
+        "doc_id",
+        "n_tok",
+        budget=300,
+    )
+    p = plan_of(m)
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    tree = m._jdf.queryExecution().optimizedPlan().toString()
+    lines = tree.splitlines()
+    for i, line in enumerate(lines):
+        if "Window [" not in line:
+            continue
+        spec = line.split("], [")[1]
+        if "_hb#" in spec:
+            continue  # (source, hash-bucket) local running sum — parallel
+        child = next(
+            (b for b in lines[i + 1 :] if " Sort [" not in b and "Exchange " not in b),
+            "",
+        )
+        assert "Aggregate" in child or "Join" in child, (
+            f"bare-key window over raw rows:\n{line}"
+        )
