@@ -4457,6 +4457,49 @@ def fano_burstiness_1d(spark, sf_dir):
     return fano_burstiness(ev, ["event_type"], "ts", 60, 86400)
 
 
+@_q(
+    "label_centroid_affinity",
+    """
+    WITH ex AS (SELECT label AS grp, i AS dim,
+                       CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000, 0)
+                            AS BIGINT) AS micro
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS t(i)),
+         sums AS (SELECT grp, dim, CAST(sum(micro) AS BIGINT) AS s,
+                         CAST(count(*) AS BIGINT) AS n
+                  FROM ex GROUP BY 1, 2),
+         cen AS (SELECT grp, dim, n, s // n AS m FROM sums),
+         pr AS (SELECT a.grp AS group_a, b.grp AS group_b, a.dim,
+                       a.n AS n_a, b.n AS n_b, a.m AS ma, b.m AS mb
+                FROM cen a JOIN cen b ON a.dim = b.dim AND a.grp < b.grp),
+         g AS (SELECT group_a, group_b,
+                      CAST(max(n_a) AS BIGINT) AS n_a,
+                      CAST(max(n_b) AS BIGINT) AS n_b,
+                      CAST(sum(ma * mb) AS BIGINT) AS num,
+                      CAST(sum(ma * ma) AS BIGINT) AS na2,
+                      CAST(sum(mb * mb) AS BIGINT) AS nb2
+               FROM pr GROUP BY 1, 2)
+    SELECT group_a, group_b, n_a, n_b,
+           CASE WHEN na2 > 0 AND nb2 > 0
+                THEN CAST(num AS DOUBLE)
+                     / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+           END AS cosine
+    FROM g
+    """,
+)
+def label_centroid_affinity(spark, sf_dir):
+    """Cosine affinity matrix between label centroids of the embeddings
+    table (operators/similarity.centroid_affinity): micro-quantized
+    components (float32·1e6 is an exact double, never a half-integer),
+    truncating integer centroids (Spark `div` ≡ DuckDB `//`, both
+    toward-zero — verified), BIGINT dot products, ONE bitwise float step.
+    The cluster-QA / semantic-drift audit over embedding groups."""
+    from mtsad_spark.operators.similarity import centroid_affinity
+
+    emb = _t(spark, sf_dir, "embeddings").select("label", "embedding")
+    return centroid_affinity(emb, "label", "embedding")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4482,6 +4525,7 @@ _PRIORITY = [
     "tfidf_top_terms_docs",
     "token_drift_15m_seqfix",
     "fano_burstiness_1d",
+    "label_centroid_affinity",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -423,3 +423,61 @@ def kmeans_deterministic(
             for i, old in enumerate(centroids)
         ]
     return centroids
+
+
+def centroid_affinity(
+    df: DataFrame, group_col: str, vec_col: str, micro_scale: int = 1_000_000
+) -> DataFrame:
+    """Cosine affinity matrix between GROUP CENTROIDS of an embedding
+    column — the semantic-drift / cluster-QA companion to the pairwise ANN
+    family: how close are the mean embeddings of two sources, labels or
+    days (public practice: class-centroid similarity for dataset audits).
+
+    EXACT-INTEGER spec: every component is micro-quantized
+    (``round(x·1e6)`` — a float32 times 1e6 is an exact double with ≤44
+    mantissa bits, so the value is NEVER a representable half-integer and
+    the rounding is engine-unambiguous), per-(group, dim) BIGINT sums are
+    floor-divided by the group count (``div`` — integer centroid), and the
+    pair dot products / norms are BIGINT sums of micro² products
+    (contract: ``dims · (micro_scale·max|x|)² < 2^63``). Cosine is ONE
+    float step ``num/(√a·√b)`` on exactly-representable integers — bitwise
+    across engines and parallelism. Zero-norm centroids emit NULL.
+
+    Scale shape: the only corpus-sized stage is the map-side-combined
+    (group, dim) sum over the exploded components; everything after runs
+    on #groups·dims rows. No broadcast hints anywhere.
+
+    Returns ``(group_a, group_b, n_a, n_b, cosine)`` for group_a < group_b.
+    """
+    ex = df.select(
+        F.col(group_col).alias("grp"), F.posexplode(vec_col).alias("dim", "v")
+    )
+    micro = F.round(F.col("v").cast("double") * F.lit(int(micro_scale)), 0).cast(
+        "long"
+    )
+    sums = ex.groupBy("grp", "dim").agg(
+        F.sum(micro).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    cen = sums.withColumn("m", F.expr("s div n")).select("grp", "dim", "n", "m")
+    a = cen.select(
+        F.col("grp").alias("group_a"), "dim",
+        F.col("n").alias("n_a"), F.col("m").alias("ma"),
+    )
+    b = cen.select(
+        F.col("grp").alias("group_b"), "dim",
+        F.col("n").alias("n_b"), F.col("m").alias("mb"),
+    )
+    j = a.join(b, "dim").filter(F.col("group_a") < F.col("group_b"))
+    g = j.groupBy("group_a", "group_b").agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+        F.sum(F.col("ma") * F.col("mb")).alias("_num"),
+        F.sum(F.col("ma") * F.col("ma")).alias("_na2"),
+        F.sum(F.col("mb") * F.col("mb")).alias("_nb2"),
+    )
+    cos = F.when(
+        (F.col("_na2") > 0) & (F.col("_nb2") > 0),
+        F.col("_num").cast("double")
+        / (F.sqrt(F.col("_na2").cast("double")) * F.sqrt(F.col("_nb2").cast("double"))),
+    )
+    return g.withColumn("cosine", cos).drop("_num", "_na2", "_nb2")

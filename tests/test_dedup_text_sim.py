@@ -596,3 +596,49 @@ def test_token_distribution_drift_vs_python(spark):
         assert abs(got[bt][1] - kl_ref) < 1e-4, b  # close to textbook KL
     # the shifted bucket must show much larger drift than the similar one
     assert got[t0 + dt.timedelta(seconds=1200)][1] > 5 * got[t0 + dt.timedelta(seconds=600)][1]
+
+
+def test_centroid_affinity_vs_python(spark):
+    """centroid_affinity must equal the integer spec bitwise, approximate
+    true centroid cosine, and order groups by construction: aligned > 0.9,
+    opposed < -0.9, orthogonal ≈ 0."""
+    rng = np.random.default_rng(23)
+    d = 16
+    base = rng.normal(size=d)
+    groups = {
+        "pos": [base + rng.normal(scale=0.05, size=d) for _ in range(20)],
+        "pos2": [base + rng.normal(scale=0.05, size=d) for _ in range(15)],
+        "neg": [-base + rng.normal(scale=0.05, size=d) for _ in range(18)],
+    }
+    rows = [
+        (g, [float(x) for x in v]) for g, vs in groups.items() for v in vs
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<float>")
+    from mtsad_spark.operators.similarity import centroid_affinity
+
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in centroid_affinity(df, "label", "embedding").collect()
+    }
+    assert len(got) == 3
+
+    def spec(ga, gb):
+        ma, mb = [], []
+        for g, out in ((ga, ma), (gb, mb)):
+            vs = [np.float32(v) for v in groups[g]]
+            n = len(vs)
+            for i in range(d):
+                s = sum(int(round(float(np.float64(v[i])) * 1e6)) for v in vs)
+                # Spark `div` and DuckDB `//` both truncate toward zero
+                out.append((abs(s) // n) * (1 if s >= 0 else -1))
+        num = sum(a * b for a, b in zip(ma, mb))
+        na2 = sum(a * a for a in ma)
+        nb2 = sum(b * b for b in mb)
+        return float(num) / (np.sqrt(float(na2)) * np.sqrt(float(nb2)))
+
+    for (ga, gb), r in got.items():
+        assert r["n_a"] == len(groups[ga]) and r["n_b"] == len(groups[gb])
+        assert abs(r["cosine"] - spec(ga, gb)) < 1e-9, (ga, gb)
+    assert got[("pos", "pos2")]["cosine"] > 0.9
+    assert got[("neg", "pos")]["cosine"] < -0.9
+    assert got[("neg", "pos2")]["cosine"] < -0.9
