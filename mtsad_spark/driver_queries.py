@@ -4500,6 +4500,68 @@ def label_centroid_affinity(spark, sf_dir):
     return centroid_affinity(emb, "label", "embedding")
 
 
+@_q(
+    "sliding_distinct_3d_hll",
+    """
+    WITH base AS (SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS b,
+                         user_id
+                  FROM events),
+         days AS (SELECT DISTINCT event_type, b FROM base)
+    SELECT d.event_type, d.b AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_rows_window,
+           CAST(count(DISTINCT r.b) AS BIGINT) AS n_active_buckets,
+           CAST(count(DISTINCT r.user_id) AS BIGINT) AS n_exact,
+           TRUE AS est_ok
+    FROM days d
+    JOIN base r ON r.event_type = d.event_type
+               AND r.b >= d.b - INTERVAL 2 DAY AND r.b <= d.b
+    GROUP BY 1, 2
+    """,
+)
+def sliding_distinct_3d_hll(spark, sf_dir):
+    """Trailing-3-day distinct users per event_type via windowed HLL
+    sketch-tier unions (operators/rollup.sliding_distinct — only sketches
+    cross days at scale, raw rows are touched once). The sketch estimate is
+    merge-order-sensitive by ±1 in sparse mode (measured), so the driver
+    checks the SQL-expressible half — exact window row totals, active-day
+    counts, exact distinct — plus the ``est_ok`` |est − exact| ≤ 5% bound
+    oracled as TRUE (the distinct_rollup_1d_hll contract)."""
+    from mtsad_spark.operators.rollup import sliding_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    est = sliding_distinct(ev, "ts", "user_id", ["event_type"], 3, "1d")
+    day = F.date_trunc("day", "ts").cast("timestamp")
+    shifted = ev.select(
+        "event_type", day.alias("_b"), "user_id"
+    ).select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("_off"),
+        "_b",
+        "user_id",
+    ).select(
+        "event_type",
+        (F.col("_b").cast("long") + F.col("_off") * F.lit(86400))
+        .cast("timestamp")
+        .alias("bucket_ts"),
+        "user_id",
+    )
+    targets = est.select("event_type", "bucket_ts")
+    exact = shifted.join(targets, ["event_type", "bucket_ts"]).groupBy(
+        "event_type", "bucket_ts"
+    ).agg(F.count_distinct("user_id").alias("n_exact"))
+    return est.join(exact, ["event_type", "bucket_ts"]).select(
+        "event_type",
+        "bucket_ts",
+        "n_rows_window",
+        "n_active_buckets",
+        "n_exact",
+        (
+            F.abs(F.col("distinct_est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_ok"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4526,6 +4588,7 @@ _PRIORITY = [
     "token_drift_15m_seqfix",
     "fano_burstiness_1d",
     "label_centroid_affinity",
+    "sliding_distinct_3d_hll",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

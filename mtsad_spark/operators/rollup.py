@@ -626,3 +626,80 @@ def histogram_quantile(
         .otherwise(F.least(F.greatest(interp, F.lit(lo)), F.lit(hi)))
     )
     return hit.select(*keys, "bucket_ts", "n_rows", F.round(est, 6).alias("q_est"))
+
+
+def sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    val_col: str,
+    keys: list[str],
+    window_buckets: int,
+    tier: str = "1d",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Trailing-window distinct count per key over a sketch tier — the
+    "distinct users over the last N days" query, answered WITHOUT touching
+    raw rows twice: base-tier HLL sketches are built once (the
+    :func:`distinct_rollup_tiers` partial state), then every bucket's
+    trailing window unions the sketch rows of its ``window_buckets``
+    predecessors. Register-wise max union is lossless at equal ``lg_k`` in
+    DENSE mode; in sparse/coupon mode the merged gadget's ESTIMATE is
+    merge-order-sensitive by ±1 count (measured: the same two day sketches
+    union to 386 or 387 depending on order), so ``distinct_est`` is an
+    ESTIMATE column with a bounded-error contract, not a
+    partitioning-deterministic value — driver queries must emit the
+    ``est_ok`` bound (the distinct_rollup_1d_hll pattern), never hash the
+    raw estimate.
+
+    Shape: sketches shift via an OFFSET-PATTERN EXPLODE (each bucket row
+    contributes itself to ``window_buckets`` target buckets — tier-sized ×
+    window, never raw-sized) and a map-side-combinable union re-aggregate;
+    no per-key raw-row windows, no self-join fan-out beyond the fixed
+    window factor. Only targets that are themselves observed base buckets
+    are emitted (no trailing ghost buckets past the end of data).
+
+    Returns ``(*keys, bucket_ts, n_rows_window, n_active_buckets,
+    distinct_est)``: window row total, contributing-bucket count, and the
+    unioned HLL estimate.
+    """
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1, got {window_buckets}")
+    _, width = TIERS[tier]
+    # normalize NTZ → TIMESTAMP once so the shift arithmetic and the
+    # target join see one type (the joins._epoch lesson)
+    base = df.groupBy(
+        *keys, bucket_expr(ts_col, tier).cast("timestamp").alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.hll_sketch_agg(F.col(val_col), F.lit(lg_k)).alias("_hll"),
+    )
+    from mtsad_spark.plans.scope import scoped_persist
+
+    base = scoped_persist(base)  # feeds the shift explode AND the target semi-join
+    shifted = base.select(
+        *keys,
+        F.explode(
+            F.sequence(F.lit(0), F.lit(window_buckets - 1))
+        ).alias("_off"),
+        "bucket_ts",
+        "n_rows",
+        "_hll",
+    ).select(
+        *keys,
+        (F.col("bucket_ts").cast("long") + F.col("_off") * F.lit(width))
+        .cast("timestamp")
+        .alias("bucket_ts"),
+        "n_rows",
+        "_hll",
+    )
+    targets = base.select(*keys, "bucket_ts")
+    agg = shifted.join(targets, [*keys, "bucket_ts"]).groupBy(
+        *keys, "bucket_ts"
+    ).agg(
+        F.sum("n_rows").alias("n_rows_window"),
+        F.count(F.lit(1)).alias("n_active_buckets"),
+        F.hll_union_agg(F.col("_hll")).alias("_u"),
+    )
+    return agg.withColumn(
+        "distinct_est", F.hll_sketch_estimate("_u")
+    ).drop("_u")

@@ -375,3 +375,57 @@ def test_lttb_passthrough_and_validation(spark):
     assert len(got) == 5 and list(got.v) == [0, 10, 20, 30, 40]
     with pytest.raises(ValueError):
         lttb_downsample(df, ["key"], "ts", "v", 2)
+
+
+def test_sliding_distinct_window_bounds_and_exact_counts(spark):
+    """n_rows_window / n_active_buckets must be exact, the unioned
+    estimate within 5% of the true windowed distinct count, and
+    cross-partitioning estimate jitter within the sparse-mode ±2 bound."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.operators.rollup import sliding_distinct
+
+    rng = np.random.default_rng(29)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(10):
+        if day == 4:
+            continue  # a hole: windows spanning it see fewer active buckets
+        for _ in range(rng.integers(200, 400)):
+            rows.append(
+                (
+                    "k",
+                    t0 + dt.timedelta(days=day, seconds=int(rng.integers(0, 86400))),
+                    int(rng.integers(0, 500) + day * 37),
+                )
+            )
+    df = spark.createDataFrame(rows, "key string, ts timestamp, user long")
+    got = {
+        r["bucket_ts"]: r
+        for r in sliding_distinct(df, "ts", "user", ["key"], 3, "1d").collect()
+    }
+    days_present = sorted({ts.date() for _, ts, _ in rows})
+    assert len(got) == len(days_present)
+    for day, r in got.items():
+        lo = day - dt.timedelta(days=2)
+        win = [(ts, u) for _, ts, u in rows if lo.date() <= ts.date() <= day.date()]
+        assert r["n_rows_window"] == len(win)
+        assert r["n_active_buckets"] == len({ts.date() for ts, _ in win})
+        # NB: sparse-mode hll_union_agg estimates are merge-ORDER-sensitive
+        # by ±1 (measured — see the op docstring), so the contract is the
+        # error BOUND, never value equality across paths/orders
+        exact = len({u for _, u in win})
+        assert abs(r["distinct_est"] - exact) <= 0.05 * exact
+    got2 = {
+        r["bucket_ts"]: r["distinct_est"]
+        for r in sliding_distinct(
+            df.repartition(13), "ts", "user", ["key"], 3, "1d"
+        ).collect()
+    }
+    for k, v in got.items():
+        # merge-order jitter across partitionings stays within ±2 counts
+        assert abs(got2[k] - v["distinct_est"]) <= 2, k
+    with pytest.raises(ValueError):
+        sliding_distinct(df, "ts", "user", ["key"], 0, "1d")
