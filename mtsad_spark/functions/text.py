@@ -249,8 +249,6 @@ def token_distribution_drift(
     Returns ``(bucket_ts, n_union, kl)`` for every bucket with a
     predecessor; ``n_union`` = tokens observed in either bucket of the pair.
     """
-    from mtsad_spark.plans.scope import scoped_persist
-
     if vocab < 1:
         raise ValueError(f"vocab must be >= 1, got {vocab}")
     w = F.lit(int(bucket_width_s)).cast("long")
@@ -258,9 +256,28 @@ def token_distribution_drift(
         (F.col(ts_col).cast("timestamp").cast("long") / w).cast("long") * w
     ).cast("timestamp")
     tok = df.select(bucket.alias("bucket_ts"), F.explode(tokens_col).alias("token"))
-    cnts = scoped_persist(
-        tok.groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    cnts = tok.groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return token_drift_from_counts(cnts, bucket_width_s, vocab)
+
+
+def token_drift_from_counts(
+    cnts: DataFrame, bucket_width_s: int, vocab: int
+) -> DataFrame:
+    """The drift stage of :func:`token_distribution_drift` over a
+    PRE-COUNTED histogram tier ``(bucket_ts, token, cnt)`` — the seam the
+    STREAMING form shares with batch: a continuous-aggregate ingest
+    (``plans/continuous`` with ``keys=[token]``) maintains the per-bucket
+    token counts incrementally, and this read-path computes the identical
+    bitwise KL from the stored tier (stream ≡ batch asserted in
+    tests/test_streaming.py). ``bucket_ts`` must already be aligned to
+    ``bucket_width_s`` (re-bucket finer tiers by integer cnt sums first —
+    exact)."""
+    from mtsad_spark.plans.scope import scoped_persist
+
+    if vocab < 1:
+        raise ValueError(f"vocab must be >= 1, got {vocab}")
+    w = F.lit(int(bucket_width_s)).cast("long")
+    cnts = scoped_persist(cnts.select("bucket_ts", "token", "cnt"))
     totals = cnts.groupBy("bucket_ts").agg(F.sum("cnt").alias("tot"))
     tprev = totals.select(
         (F.col("bucket_ts").cast("long") + w).cast("timestamp").alias("bucket_ts"),
