@@ -4562,6 +4562,64 @@ def sliding_distinct_3d_hll(spark, sf_dir):
     )
 
 
+def _token_drift_top_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH, VOCAB
+
+    v, w, k = VOCAB, 900, 10
+    return f"""
+    WITH tok AS (SELECT make_timestamp(((epoch(ingest_ts)::BIGINT // {w}) * {w}) * 1000000) AS b,
+                        unnest(tokens) AS token
+                 FROM '{SEQFIX_PATH}'),
+         c AS (SELECT b, token, CAST(count(*) AS BIGINT) AS cnt
+               FROM tok GROUP BY 1, 2),
+         t AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+         pairjoin AS (SELECT coalesce(cur.b, prv.b) AS b, token,
+                             coalesce(cur.cnt, 0) AS craw,
+                             coalesce(prv.cnt, 0) AS praw
+                      FROM c cur FULL OUTER JOIN
+                           (SELECT make_timestamp((epoch(b)::BIGINT + {w}) * 1000000) AS b,
+                                   token, cnt FROM c) prv
+                           USING (b, token)),
+         u AS (SELECT p.b, p.token, p.craw, p.praw,
+                      p.craw + 1 AS cc, p.praw + 1 AS cp,
+                      tc.tot + {v} AS tcc, tpv.tot + {v} AS tpp
+               FROM pairjoin p
+               JOIN t tc ON tc.b = p.b
+               JOIN (SELECT make_timestamp((epoch(b)::BIGINT + {w}) * 1000000) AS b,
+                            tot FROM t) tpv ON tpv.b = p.b),
+         scored AS (SELECT b, token, craw, praw,
+                           cc * CAST(round(ln(CAST(cc * tpp AS DOUBLE)
+                                             / CAST(cp * tcc AS DOUBLE)) * 1000000, 0)
+                                     AS BIGINT) AS contrib_micro
+                    FROM u),
+         r AS (SELECT *, CAST(row_number() OVER (PARTITION BY b
+                              ORDER BY abs(contrib_micro) DESC, token) AS INT) AS rk
+               FROM scored)
+    SELECT b AS bucket_ts, token, craw AS c_cur, praw AS c_prev,
+           contrib_micro, rk
+    FROM r WHERE rk <= {k}
+    """
+
+
+@_q("token_drift_top_tokens_seqfix", _token_drift_top_sql())
+def token_drift_top_tokens_seqfix(spark, sf_dir):
+    """Drift attribution (functions/text.token_drift_contributions): per
+    15-minute bucket pair, the 10 tokens with the largest absolute exact KL
+    term — the same BIGINT the KL sums, so attribution and metric agree
+    exactly; ranking is integer (|contrib| desc, token asc), float-free."""
+    from mtsad_spark.fixture_cache import VOCAB, ensure_seqfix
+    from mtsad_spark.functions.text import token_drift_contributions
+
+    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    cnts = seq.select(
+        ((F.col("ingest_ts").cast("timestamp").cast("long") / 900).cast("long") * 900)
+        .cast("timestamp")
+        .alias("bucket_ts"),
+        F.explode("tokens").alias("token"),
+    ).groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    return token_drift_contributions(cnts, 900, VOCAB, k=10)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4589,6 +4647,7 @@ _PRIORITY = [
     "fano_burstiness_1d",
     "label_centroid_affinity",
     "sliding_distinct_3d_hll",
+    "token_drift_top_tokens_seqfix",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -272,6 +272,27 @@ def token_drift_from_counts(
     tests/test_streaming.py). ``bucket_ts`` must already be aligned to
     ``bucket_width_s`` (re-bucket finer tiers by integer cnt sums first —
     exact)."""
+    u, tc, tp, lnm = _drift_terms(cnts, bucket_width_s, vocab)
+    terms = u.groupBy("bucket_ts", "tot", "tot_prev").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("_cc") * lnm).alias("_s"),
+    )
+    lnm0 = F.round(
+        F.log(tp.cast("double") / tc.cast("double")) * F.lit(1_000_000), 0
+    ).cast("long")
+    total_micro = F.col("_s") + (F.lit(int(vocab)) - F.col("n_union")) * lnm0
+    return terms.select(
+        "bucket_ts",
+        "n_union",
+        (total_micro.cast("double") / (tc.cast("double") * F.lit(1e6))).alias("kl"),
+    )
+
+
+def _drift_terms(cnts: DataFrame, bucket_width_s: int, vocab: int):
+    """Shared consecutive-bucket-pair term frame of the drift family:
+    returns ``(u, tc, tp, lnm)`` — the union-support frame with smoothed
+    counts ``_cc``/``_cp`` and per-bucket totals, the smoothed total
+    column expressions, and the micro-int ln of the exact integer ratio."""
     from mtsad_spark.plans.scope import scoped_persist
 
     if vocab < 1:
@@ -303,16 +324,41 @@ def token_drift_from_counts(
         * F.lit(1_000_000),
         0,
     ).cast("long")
-    terms = u.groupBy("bucket_ts", "tot", "tot_prev").agg(
-        F.count(F.lit(1)).alias("n_union"),
-        F.sum(F.col("_cc") * lnm).alias("_s"),
+    return u, tc, tp, lnm
+
+
+def token_drift_contributions(
+    cnts: DataFrame, bucket_width_s: int, vocab: int, k: int = 10
+) -> DataFrame:
+    """WHICH tokens drove the drift — the attribution companion of
+    :func:`token_drift_from_counts`: per bucket pair, the top-``k``
+    union-support tokens by absolute exact KL term
+    ``contrib_micro = (cnt_cur+1)·lnm`` (the same BIGINT the KL sums, so
+    attribution and metric agree exactly). Ranking is (|contrib| desc,
+    token asc) on integers — float-free, engine-independent. The only
+    window runs per BUCKET over its union tokens (vocab-bounded).
+
+    Returns ``(bucket_ts, token, c_cur, c_prev, contrib_micro, rk)`` with
+    raw (unsmoothed) counts, 0 when the token is absent from a side.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u, tc, tp, lnm = _drift_terms(cnts, bucket_width_s, vocab)
+    scored = u.withColumn("contrib_micro", F.col("_cc") * lnm)
+    wnd = Window.partitionBy("bucket_ts").orderBy(
+        F.desc(F.abs(F.col("contrib_micro"))), F.asc("token")
     )
-    lnm0 = F.round(
-        F.log(tp.cast("double") / tc.cast("double")) * F.lit(1_000_000), 0
-    ).cast("long")
-    total_micro = F.col("_s") + (F.lit(int(vocab)) - F.col("n_union")) * lnm0
-    return terms.select(
-        "bucket_ts",
-        "n_union",
-        (total_micro.cast("double") / (tc.cast("double") * F.lit(1e6))).alias("kl"),
+    return (
+        scored.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= k)
+        .select(
+            "bucket_ts",
+            "token",
+            F.coalesce(F.col("c_cur"), F.lit(0)).cast("long").alias("c_cur"),
+            F.coalesce(F.col("c_prev"), F.lit(0)).cast("long").alias("c_prev"),
+            "contrib_micro",
+            "rk",
+        )
     )

@@ -642,3 +642,58 @@ def test_centroid_affinity_vs_python(spark):
     assert got[("pos", "pos2")]["cosine"] > 0.9
     assert got[("neg", "pos")]["cosine"] < -0.9
     assert got[("neg", "pos2")]["cosine"] < -0.9
+
+
+def test_token_drift_contributions_vs_python(spark):
+    """Top-k drift attribution must match a python recompute of the exact
+    integer terms (|contrib| desc, token asc), with raw counts attached."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.functions.text import token_drift_contributions
+
+    rng = np.random.default_rng(37)
+    V = 40
+    t0 = dt.datetime(2024, 1, 1)
+    buckets = {
+        0: rng.integers(0, 20, size=300).tolist(),
+        1: rng.integers(5, 30, size=280).tolist(),
+    }
+    rows = []
+    for b, toks in buckets.items():
+        for j, t in enumerate(toks):
+            rows.append((t0 + dt.timedelta(seconds=600 * b, microseconds=j), t))
+    df = spark.createDataFrame(rows, "ts timestamp, token int")
+    cnts = df.groupBy(
+        ((F.col("ts").cast("long") / 600).cast("long") * 600)
+        .cast("timestamp")
+        .alias("bucket_ts"),
+        "token",
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    k = 7
+    got = (
+        token_drift_contributions(cnts, 600, V, k=k)
+        .toPandas()
+        .sort_values("rk")
+        .reset_index(drop=True)
+    )
+    ca, cb = Counter(buckets[0]), Counter(buckets[1])
+    ta, tb = len(buckets[0]) + V, len(buckets[1]) + V
+    terms = []
+    for t in sorted(set(ca) | set(cb)):
+        cc, cp = cb.get(t, 0) + 1, ca.get(t, 0) + 1
+        contrib = cc * round(math.log((cc * ta) / (cp * tb)) * 1e6)
+        terms.append((t, cb.get(t, 0), ca.get(t, 0), contrib))
+    terms.sort(key=lambda x: (-abs(x[3]), x[0]))
+    want = [
+        (t, ccur, cprev, contrib, i + 1)
+        for i, (t, ccur, cprev, contrib) in enumerate(terms[:k])
+    ]
+    assert [
+        (r.token, r.c_cur, r.c_prev, r.contrib_micro, r.rk)
+        for r in got.itertuples(index=False)
+    ] == want
+    assert (got.bucket_ts == t0 + dt.timedelta(seconds=600)).all()
