@@ -4620,6 +4620,64 @@ def token_drift_top_tokens_seqfix(spark, sf_dir):
     return token_drift_contributions(cnts, 900, VOCAB, k=10)
 
 
+@_q(
+    "session_concurrency_1m",
+    """
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               FROM g),
+         sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en
+                  FROM s GROUP BY 1, 2),
+         d AS (SELECT make_timestamp(((CAST(floor(epoch(st)) AS BIGINT) // 60) * 60)
+                                     * 1000000) AS bucket_ts,
+                      CAST(1 AS BIGINT) AS dd
+               FROM sess
+               UNION ALL
+               SELECT make_timestamp(((CAST(floor(epoch(en)) AS BIGINT) // 60) * 60 + 60)
+                                     * 1000000) AS bucket_ts,
+                      CAST(-1 AS BIGINT) AS dd
+               FROM sess),
+         agg AS (SELECT bucket_ts, CAST(sum(dd) AS BIGINT) AS delta
+                 FROM d GROUP BY 1)
+    SELECT bucket_ts, delta,
+           CAST(sum(delta) OVER (ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS concurrent
+    FROM agg
+    """,
+)
+def session_concurrency_1m(spark, sf_dir):
+    """Concurrent-session curve (operators/prefix.concurrency_curve over
+    the 30-min-gap sessionization): +1/−1 difference algebra per minute
+    bucket, running count composed from per-coarse-bucket partial sums —
+    the oracle's serial global window is the semantic spec; the engine's
+    only sequential window runs over the bucket-count frame. Sparse
+    change-point rows (compose with LOCF gap-fill for a dense spine)."""
+    from pyspark.sql import Window
+
+    from mtsad_spark.operators.prefix import concurrency_curve
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = (
+        ev.withColumn("_n", new_s)
+        .withColumn("session_id", F.sum("_n").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    return concurrency_curve(sess, "st", "en", 60)
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4648,6 +4706,7 @@ _PRIORITY = [
     "label_centroid_affinity",
     "sliding_distinct_3d_hll",
     "token_drift_top_tokens_seqfix",
+    "session_concurrency_1m",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -93,3 +93,55 @@ def pack_sequences(
         .withColumn("bin_offset", excl)
         .drop("_incl")
     )
+
+
+def concurrency_curve(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_width_s: int = 60,
+    keys: list[str] | None = None,
+    coarse_width: float = 3600.0,
+) -> DataFrame:
+    """Concurrent-interval curve by DIFFERENCE ALGEBRA — "how many sessions
+    were active at once": each interval contributes +1 at its start bucket
+    and −1 one bucket past its end (inclusive-end semantics), the deltas
+    are a map-side-combined per-bucket sum, and the running count is a
+    :func:`keyed_prefix_sum` over the BUCKET frame — tier-sized, never a
+    per-interval window, with the sequential carry bounded by
+    buckets/coarse_width exactly like every prefix op here.
+
+    Output is SPARSE: one row per bucket where some interval starts or
+    ends (the curve is piecewise-constant between them); compose with
+    ``gap_fill(..., 'locf')`` for a dense spine. Buckets whose starts and
+    ends cancel are still emitted (concurrent unchanged) — deterministic
+    and oracle-replayable.
+
+    Returns ``(*keys, bucket_ts, delta, concurrent)`` with ``concurrent``
+    the number of intervals covering that bucket.
+    """
+    keys = keys or []
+    w = int(bucket_width_s)
+    b_start = (
+        (F.col(start_col).cast("timestamp").cast("long") / F.lit(w)).cast("long")
+        * w
+    ).cast("timestamp")
+    b_end = (
+        (F.col(end_col).cast("timestamp").cast("long") / F.lit(w)).cast("long") * w
+        + F.lit(w)
+    ).cast("timestamp")
+    starts = df.select(*keys, b_start.alias("bucket_ts")).withColumn(
+        "_d", F.lit(1).cast("long")
+    )
+    ends = df.select(*keys, b_end.alias("bucket_ts")).withColumn(
+        "_d", F.lit(-1).cast("long")
+    )
+    deltas = (
+        starts.unionByName(ends)
+        .groupBy(*keys, "bucket_ts")
+        .agg(F.sum("_d").alias("delta"))
+    )
+    out = keyed_prefix_sum(
+        deltas, keys, "bucket_ts", "delta", coarse_width, out_col="concurrent"
+    )
+    return out.select(*keys, "bucket_ts", "delta", "concurrent")

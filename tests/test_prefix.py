@@ -82,3 +82,58 @@ def test_pack_sequences_contiguous_bins(frame):
     assert (got["bin"].values == (excl // cap).values).all()
     fill = got.groupby(["k", "bin"])["v"].sum()
     assert (fill <= cap + got["v"].max() - 1).all()
+
+
+def test_concurrency_curve_vs_python(spark):
+    """The sparse difference-algebra curve must equal a brute-force per-
+    minute active-interval count at every emitted bucket, be piecewise-
+    constant between them, and be partitioning-invariant."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mtsad_spark.operators.prefix import concurrency_curve
+
+    rng = np.random.default_rng(41)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(200):
+        s = int(rng.integers(0, 7200))
+        dur = int(rng.integers(0, 1800))
+        rows.append(
+            (f"u{i}", t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=s + dur))
+        )
+    df = spark.createDataFrame(rows, "user string, s timestamp, e timestamp")
+    got = (
+        concurrency_curve(df, "s", "e", 60)
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+
+    def active(minute_start):
+        m0 = minute_start
+        return sum(
+            1
+            for _, s, e in rows
+            if (s - t0).total_seconds() // 60 * 60
+            <= (m0 - t0).total_seconds()
+            <= (e - t0).total_seconds() // 60 * 60
+        )
+
+    assert len(got) > 10
+    for r in got.itertuples(index=False):
+        assert r.concurrent == active(r.bucket_ts), r.bucket_ts
+    # piecewise-constant: between consecutive emitted buckets nothing changes
+    for a, b in zip(got.itertuples(index=False), got[1:].itertuples(index=False)):
+        probe = a.bucket_ts + dt.timedelta(seconds=60)
+        while probe < b.bucket_ts:
+            assert active(probe) == a.concurrent, probe
+            probe += dt.timedelta(seconds=600)
+    got2 = (
+        concurrency_curve(df.repartition(13), "s", "e", 60)
+        .toPandas()
+        .sort_values("bucket_ts")
+        .reset_index(drop=True)
+    )
+    assert (got2.concurrent.values == got.concurrent.values).all()
