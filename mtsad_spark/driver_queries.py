@@ -4678,6 +4678,217 @@ def session_concurrency_1m(spark, sf_dir):
     return concurrency_curve(sess, "st", "en", 60)
 
 
+@_q(
+    "cohort_retention_1d",
+    """
+    WITH act AS (SELECT DISTINCT user_id,
+                        CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+                 FROM events),
+         first AS (SELECT user_id, min(d) AS cohort_day FROM act GROUP BY 1),
+         sizes AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+                   FROM first GROUP BY 1)
+    SELECT f.cohort_day,
+           CAST((epoch(a.d) - epoch(f.cohort_day)) // 86400 AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active,
+           sizes.cohort_size
+    FROM act a
+    JOIN first f USING (user_id)
+    JOIN sizes ON sizes.cohort_day = f.cohort_day
+    GROUP BY 1, 2, 4
+    """,
+)
+def cohort_retention_1d(spark, sf_dir):
+    """Cohort retention triangle — users grouped by first-seen day, counted
+    on each later active day (the standard growth-analytics matrix).
+    Pure exact algebra: distinct (user, day) activity (map-side combined),
+    per-user min-day cohort fit (key-proportional aggregate, hint-free
+    join per the fit_join rule), integer day offsets, BIGINT counts —
+    no windows at all, no floats."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("timestamp").alias("d")
+    ).distinct()
+    from mtsad_spark.plans.scope import scoped_persist
+
+    act = scoped_persist(act)  # feeds cohort fit AND the activity join
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    sizes = first.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    j = act.join(first, "user_id")
+    off = (
+        (F.col("d").cast("long") - F.col("cohort_day").cast("long"))
+        / F.lit(86400)
+    ).cast("long")
+    return (
+        j.groupBy("cohort_day", off.alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(sizes, "cohort_day")
+        .select("cohort_day", "day_offset", "n_active", "cohort_size")
+    )
+
+
+@_q(
+    "funnel_view_click_purchase_1d",
+    """
+    WITH ev AS (SELECT user_id, event_type, ts,
+                       CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+                FROM events),
+         s1 AS (SELECT user_id, d,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM ev GROUP BY 1, 2),
+         s2 AS (SELECT e.user_id, e.d,
+                       min(CASE WHEN e.event_type = 'click'
+                                AND e.ts >= s1.t1 THEN e.ts END) AS t2
+                FROM ev e JOIN s1 ON s1.user_id = e.user_id AND s1.d = e.d
+                WHERE s1.t1 IS NOT NULL
+                GROUP BY 1, 2),
+         s3 AS (SELECT e.user_id, e.d,
+                       min(CASE WHEN e.event_type = 'purchase'
+                                AND e.ts >= s2.t2 THEN e.ts END) AS t3
+                FROM ev e JOIN s2 ON s2.user_id = e.user_id AND s2.d = e.d
+                WHERE s2.t2 IS NOT NULL
+                GROUP BY 1, 2)
+    SELECT s1.d AS day_ts,
+           CAST(count(*) AS BIGINT) AS n_view,
+           CAST(count(s2.t2) AS BIGINT) AS n_view_click,
+           CAST(count(s3.t3) AS BIGINT) AS n_view_click_purchase
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id AND s2.d = s1.d
+    LEFT JOIN s3 ON s3.user_id = s1.user_id AND s3.d = s1.d
+    WHERE s1.t1 IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def funnel_view_click_purchase_1d(spark, sf_dir):
+    """Ordered three-step funnel per day (view → click-after-view →
+    purchase-after-click), the standard product-analytics conversion
+    query: each step is a conditional-min aggregate gated on the previous
+    step's timestamp — three map-side-combined agg passes with
+    (user, day) equi-joins, no windows, all-integer outputs. The raw-event
+    frame is scope-persisted across the three passes."""
+    from mtsad_spark.plans.scope import scoped_persist
+
+    ev = scoped_persist(
+        _t(spark, sf_dir, "events").select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.date_trunc("day", "ts").cast("timestamp").alias("d"),
+        )
+    )
+    s1 = ev.groupBy("user_id", "d").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    ).filter(F.col("t1").isNotNull())
+    s2 = (
+        ev.join(s1, ["user_id", "d"])
+        .groupBy("user_id", "d")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+                    F.col("ts"),
+                )
+            ).alias("t2")
+        )
+        .filter(F.col("t2").isNotNull())
+    )
+    s3 = (
+        ev.join(s2, ["user_id", "d"])
+        .groupBy("user_id", "d")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("t2")),
+                    F.col("ts"),
+                )
+            ).alias("t3")
+        )
+        .filter(F.col("t3").isNotNull())
+    )
+    return (
+        s1.join(s2.select("user_id", "d", "t2"), ["user_id", "d"], "left")
+        .join(s3.select("user_id", "d", "t3"), ["user_id", "d"], "left")
+        .groupBy(F.col("d").alias("day_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n_view"),
+            F.count("t2").alias("n_view_click"),
+            F.count("t3").alias("n_view_click_purchase"),
+        )
+    )
+
+
+def _sliding_hist_quantile_sql() -> str:
+    q = 0.95
+    return f"""
+    WITH binned AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, {_hist_bin_sql()} AS bin
+      FROM events
+    ),
+    hrs AS (SELECT DISTINCT event_type, b FROM binned),
+    joined AS (
+      SELECT h.event_type, h.b AS bucket_ts, x.bin
+      FROM hrs h JOIN binned x ON x.event_type = h.event_type
+        AND x.b >= h.b - INTERVAL 5 HOUR AND x.b <= h.b
+    ),
+    counts AS (
+      SELECT event_type, bucket_ts, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM joined GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT event_type, bucket_ts, bin, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY event_type, bucket_ts) AS BIGINT) AS n_rows,
+             CAST(sum(cnt) OVER (
+               PARTITION BY event_type, bucket_ts ORDER BY bin
+             ) AS BIGINT) AS cum_cnt
+      FROM counts
+    ),
+    hit AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY event_type, bucket_ts ORDER BY bin) AS rk
+      FROM cum
+      WHERE CAST(cum_cnt AS DOUBLE) >= {q} * CAST(n_rows AS DOUBLE) AND cnt > 0
+    )
+    SELECT event_type, bucket_ts, n_rows,
+           round(CASE WHEN bin < 0 THEN {_HIST_LO}
+                      WHEN bin >= {_HIST_NB} THEN {_HIST_HI}
+                      ELSE LEAST(GREATEST(
+                        {_HIST_LO} + {_HIST_W} * (CAST(bin AS DOUBLE)
+                          + ({q} * CAST(n_rows AS DOUBLE)
+                             - (CAST(cum_cnt AS DOUBLE) - CAST(cnt AS DOUBLE)))
+                            / CAST(cnt AS DOUBLE)),
+                        {_HIST_LO}), {_HIST_HI})
+                 END, 6) AS q_est
+    FROM hit WHERE rk = 1
+    """
+
+
+@_q("sliding_histogram_p95_6h", _sliding_hist_quantile_sql())
+def sliding_histogram_p95_6h(spark, sf_dir):
+    """Trailing-6-hour p95 from windowed histogram-tier merges
+    (operators/rollup.sliding_histogram → histogram_quantile): per-bin
+    BIGINT counts merge by plain addition, so — the contrast with the HLL
+    sliding window — the windowed quantile is FULLY deterministic across
+    engines, partitionings and merge orders; the raw rows are binned
+    once."""
+    from mtsad_spark.operators.rollup import (
+        histogram_quantile,
+        histogram_rollup_tiers,
+        sliding_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = histogram_rollup_tiers(
+        ev, "ts", "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_NB,
+        tiers=["1m", "1h"],
+    )["1h"]
+    win = sliding_histogram(h1h, ["event_type"], 6, "1h")
+    return histogram_quantile(
+        win, ["event_type"], 0.95, _HIST_LO, _HIST_HI, _HIST_NB
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4707,6 +4918,9 @@ _PRIORITY = [
     "sliding_distinct_3d_hll",
     "token_drift_top_tokens_seqfix",
     "session_concurrency_1m",
+    "cohort_retention_1d",
+    "funnel_view_click_purchase_1d",
+    "sliding_histogram_p95_6h",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -703,3 +703,59 @@ def sliding_distinct(
     return agg.withColumn(
         "distinct_est", F.hll_sketch_estimate("_u")
     ).drop("_u")
+
+
+def sliding_histogram(
+    hist: DataFrame,
+    keys: list[str],
+    window_buckets: int,
+    tier: str,
+) -> DataFrame:
+    """Trailing-window merge of a fixed-bucket histogram tier — the EXACT
+    counterpart of :func:`sliding_distinct`: per-bin BIGINT counts merge by
+    plain addition, so unlike the HLL case the windowed histogram (and any
+    :func:`histogram_quantile` over it) is fully deterministic across
+    engines, partitionings and merge orders. Same offset-pattern-explode
+    shape: each tier row contributes itself to its ``window_buckets``
+    successors, targets are restricted to observed buckets, and the merge
+    is one map-side-combinable sum per bin.
+
+    Input is one tier frame from :func:`histogram_rollup_tiers` (the
+    ``tier`` literal column is dropped). Returns the same histogram schema
+    plus ``n_active_buckets`` — feed it straight to
+    :func:`histogram_quantile` for windowed percentiles.
+    """
+    if window_buckets < 1:
+        raise ValueError(f"window_buckets must be >= 1, got {window_buckets}")
+    from mtsad_spark.plans.scope import scoped_persist
+
+    _, width = TIERS[tier]
+    cols = [c for c in hist.columns if c.startswith("h_")]
+    base = scoped_persist(hist.drop("tier"))  # shift explode + target join
+    shifted = base.select(
+        *keys,
+        F.explode(F.sequence(F.lit(0), F.lit(window_buckets - 1))).alias("_off"),
+        "bucket_ts",
+        "n_rows",
+        *cols,
+    ).select(
+        *keys,
+        (
+            F.col("bucket_ts").cast("timestamp").cast("long")
+            + F.col("_off") * F.lit(width)
+        )
+        .cast("timestamp")
+        .alias("bucket_ts"),
+        "n_rows",
+        *cols,
+    )
+    targets = base.select(
+        *keys, F.col("bucket_ts").cast("timestamp").alias("bucket_ts")
+    )
+    return shifted.join(targets, [*keys, "bucket_ts"]).groupBy(
+        *keys, "bucket_ts"
+    ).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_active_buckets"),
+        *[F.sum(c).alias(c) for c in cols],
+    )

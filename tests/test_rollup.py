@@ -429,3 +429,65 @@ def test_sliding_distinct_window_bounds_and_exact_counts(spark):
         assert abs(got2[k] - v["distinct_est"]) <= 2, k
     with pytest.raises(ValueError):
         sliding_distinct(df, "ts", "user", ["key"], 0, "1d")
+
+
+def test_sliding_histogram_merge_is_exact_and_deterministic(spark):
+    """Windowed per-bin counts must EQUAL direct binning of the window's
+    raw rows (exact integer merge — the contrast with the HLL case), and
+    be bitwise partitioning-invariant; the windowed quantile stays within
+    one bucket width of numpy's percentile."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.operators.rollup import (
+        histogram_quantile,
+        histogram_rollup_tiers,
+        sliding_histogram,
+    )
+
+    rng = np.random.default_rng(43)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(12):
+        if h == 5:
+            continue  # hole
+        vals = rng.normal(100 + 10 * h, 25, size=300)
+        for v in vals:
+            rows.append(
+                ("k", t0 + dt.timedelta(hours=h, seconds=int(rng.integers(0, 3600))),
+                 float(v))
+            )
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    lo, hi, nb = 0.0, 256.0, 16
+    h1h = histogram_rollup_tiers(df, "ts", "v", ["key"], lo, hi, nb,
+                                 tiers=["1m", "1h"])["1h"]
+    win = sliding_histogram(h1h, ["key"], 4, "1h")
+    got = {r["bucket_ts"]: r.asDict() for r in win.collect()}
+    hours_present = sorted({ts.replace(minute=0, second=0) for _, ts, _ in rows})
+    assert len(got) == len(hours_present)
+    import numpy as onp
+
+    for b, r in got.items():
+        sel = [v for _, ts, v in rows
+               if b - dt.timedelta(hours=3) <= ts.replace(minute=0, second=0) <= b]
+        assert r["n_rows"] == len(sel), b
+        counts = onp.zeros(nb + 2, dtype=int)
+        for v in sel:
+            bin_ = -1 if v < lo else (nb if v >= hi else int((v - lo) // ((hi - lo) / nb)))
+            counts[bin_ + 1] += 1
+        hcols = [r["h_under"]] + [r[f"h_{i:02d}"] for i in range(nb)] + [r["h_over"]]
+        assert hcols == counts.tolist(), b
+    q = histogram_quantile(win, ["key"], 0.95, lo, hi, nb)
+    for r in q.collect():
+        b = r["bucket_ts"]
+        sel = [v for _, ts, v in rows
+               if b - dt.timedelta(hours=3) <= ts.replace(minute=0, second=0) <= b]
+        assert abs(r["q_est"] - onp.percentile(sel, 95)) <= (hi - lo) / nb + 1e-6
+    win2 = sliding_histogram(
+        histogram_rollup_tiers(df.repartition(13), "ts", "v", ["key"], lo, hi, nb,
+                               tiers=["1m", "1h"])["1h"],
+        ["key"], 4, "1h",
+    )
+    got2 = {r["bucket_ts"]: r.asDict() for r in win2.collect()}
+    assert got2 == got  # bitwise — integer merges are order-independent
