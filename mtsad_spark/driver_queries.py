@@ -4889,6 +4889,64 @@ def sliding_histogram_p95_6h(spark, sf_dir):
     )
 
 
+def _hist_distance_sql() -> str:
+    return f"""
+    WITH binned AS (
+      SELECT event_type, date_trunc('hour', ts) AS b, {_hist_bin_sql()} AS bin
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, b, bin, CAST(count(*) AS BIGINT) AS cnt
+      FROM binned GROUP BY 1, 2, 3
+    ),
+    tots AS (SELECT event_type, b, CAST(sum(cnt) AS BIGINT) AS tot
+             FROM counts GROUP BY 1, 2),
+    pairbins AS (
+      SELECT coalesce(cur.event_type, prv.event_type) AS event_type,
+             coalesce(cur.b, prv.b) AS b,
+             coalesce(cur.cnt, 0) AS c_cnt, coalesce(prv.cnt, 0) AS p_cnt
+      FROM counts cur FULL OUTER JOIN
+           (SELECT event_type, b + INTERVAL 1 HOUR AS b, bin, cnt
+            FROM counts) prv
+           USING (event_type, b, bin)
+    ),
+    j AS (
+      SELECT p.event_type, p.b AS bucket_ts,
+             tc.tot AS n_cur, tpv.tot AS n_prev,
+             p.c_cnt, p.p_cnt
+      FROM pairbins p
+      JOIN tots tc ON tc.event_type = p.event_type AND tc.b = p.b
+      JOIN (SELECT event_type, b + INTERVAL 1 HOUR AS b, tot FROM tots) tpv
+        ON tpv.event_type = p.event_type AND tpv.b = p.b
+    )
+    SELECT event_type, bucket_ts, n_cur, n_prev,
+           CAST(sum(abs(c_cnt * n_prev - p_cnt * n_cur)) AS BIGINT) AS l1_scaled,
+           CAST(sum(abs(c_cnt * n_prev - p_cnt * n_cur)) AS DOUBLE)
+             / (2.0 * CAST(n_cur AS DOUBLE) * CAST(n_prev AS DOUBLE)) AS tv
+    FROM j GROUP BY 1, 2, 3, 4
+    """
+
+
+@_q("histogram_tv_drift_1h", _hist_distance_sql())
+def histogram_tv_drift_1h(spark, sf_dir):
+    """Hour-over-hour value-distribution shift (operators/rollup.
+    histogram_distance — the class-1 exact counterpart of the token KL
+    drift): cross-multiplied per-bin L1 stays BIGINT, total-variation
+    distance is ONE float division — bitwise, no rounding. Consecutive
+    pairing is a tier-frame self equi-join, rollup-sized."""
+    from mtsad_spark.operators.rollup import (
+        histogram_distance,
+        histogram_rollup_tiers,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    h1h = histogram_rollup_tiers(
+        ev, "ts", "value", ["event_type"], _HIST_LO, _HIST_HI, _HIST_NB,
+        tiers=["1m", "1h"],
+    )["1h"]
+    return histogram_distance(h1h, ["event_type"], "1h")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4921,6 +4979,7 @@ _PRIORITY = [
     "cohort_retention_1d",
     "funnel_view_click_purchase_1d",
     "sliding_histogram_p95_6h",
+    "histogram_tv_drift_1h",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

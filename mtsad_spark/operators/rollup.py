@@ -759,3 +759,55 @@ def sliding_histogram(
         F.count(F.lit(1)).alias("n_active_buckets"),
         *[F.sum(c).alias(c) for c in cols],
     )
+
+
+def histogram_distance(
+    hist: DataFrame, keys: list[str], tier: str
+) -> DataFrame:
+    """Distribution shift between CONSECUTIVE buckets of a fixed-bucket
+    histogram tier — the value-distribution counterpart of the token KL
+    drift, and a pure class-1 EXACT op: with per-bin counts ``c_i`` (cur,
+    total n) and ``p_i`` (prev, total m), the cross-multiplied L1
+    ``l1_scaled = Σ|c_i·m − p_i·n|`` is BIGINT (contract:
+    ``max_bin_count · window_total < 2^63``), and total-variation distance
+    ``tv = l1_scaled / (2·n·m)`` is ONE float division — bitwise across
+    engines and parallelism, no rounding. tv ∈ [0, 1]; 0 = identical
+    shapes, 1 = disjoint support.
+
+    Consecutive pairing is a tier-frame self equi-join on the shifted
+    bucket (rollup-sized); buckets without a predecessor are absent.
+
+    Returns ``(*keys, bucket_ts, n_cur, n_prev, l1_scaled, tv)``.
+    """
+    _, width = TIERS[tier]
+    cols = [c for c in hist.columns if c.startswith("h_")]
+    cur = hist.select(
+        *keys,
+        F.col("bucket_ts").cast("timestamp").alias("bucket_ts"),
+        F.col("n_rows").alias("n_cur"),
+        *[F.col(c).alias(f"c_{c}") for c in cols],
+    )
+    prv = hist.select(
+        *keys,
+        (F.col("bucket_ts").cast("timestamp").cast("long") + F.lit(width))
+        .cast("timestamp")
+        .alias("bucket_ts"),
+        F.col("n_rows").alias("n_prev"),
+        *[F.col(c).alias(f"p_{c}") for c in cols],
+    )
+    j = cur.join(prv, [*keys, "bucket_ts"])
+    l1 = None
+    for c in cols:
+        term = F.abs(
+            F.col(f"c_{c}") * F.col("n_prev") - F.col(f"p_{c}") * F.col("n_cur")
+        )
+        l1 = term if l1 is None else l1 + term
+    out = j.withColumn("l1_scaled", l1.cast("long"))
+    tv = F.when(
+        (F.col("n_cur") > 0) & (F.col("n_prev") > 0),
+        F.col("l1_scaled").cast("double")
+        / (F.lit(2.0) * F.col("n_cur").cast("double") * F.col("n_prev").cast("double")),
+    )
+    return out.select(
+        *keys, "bucket_ts", "n_cur", "n_prev", "l1_scaled", tv.alias("tv")
+    )

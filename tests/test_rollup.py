@@ -491,3 +491,55 @@ def test_sliding_histogram_merge_is_exact_and_deterministic(spark):
     )
     got2 = {r["bucket_ts"]: r.asDict() for r in win2.collect()}
     assert got2 == got  # bitwise — integer merges are order-independent
+
+
+def test_histogram_distance_vs_numpy(spark):
+    """Cross-multiplied L1 / total-variation distance must match a numpy
+    recompute bitwise, detect a planted distribution shift, and read 0 for
+    identical shapes."""
+    import datetime as dt
+
+    from mtsad_spark.operators.rollup import (
+        histogram_distance,
+        histogram_rollup_tiers,
+    )
+
+    rng = np.random.default_rng(47)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for h in range(4):
+        mu = 100 if h < 3 else 180  # shift in the last hour
+        for v in rng.normal(mu, 20, size=500):
+            rows.append(("k", t0 + dt.timedelta(hours=h, seconds=int(rng.integers(0, 3600))), float(v)))
+    # an hour pair with IDENTICAL content → tv must be exactly 0
+    for v in (50.0, 60.0, 70.0):
+        rows.append(("z", t0 + dt.timedelta(hours=0, seconds=5), v))
+        rows.append(("z", t0 + dt.timedelta(hours=1, seconds=5), v))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v double")
+    lo, hi, nb = 0.0, 256.0, 16
+    h1h = histogram_rollup_tiers(df, "ts", "v", ["key"], lo, hi, nb,
+                                 tiers=["1m", "1h"])["1h"]
+    got = {
+        (r["key"], r["bucket_ts"]): r
+        for r in histogram_distance(h1h, ["key"], "1h").collect()
+    }
+
+    def bins(key, hour):
+        counts = np.zeros(nb + 2, dtype=np.int64)
+        for k, ts, v in rows:
+            if k == key and ts.hour == hour:
+                b = -1 if v < lo else (nb if v >= hi else int((v - lo) // ((hi - lo) / nb)))
+                counts[b + 1] += 1
+        return counts
+
+    for (key, b), r in got.items():
+        c, p = bins(key, b.hour), bins(key, b.hour - 1)
+        n, m = int(c.sum()), int(p.sum())
+        l1 = int(np.abs(c * m - p * n).sum())
+        assert r["n_cur"] == n and r["n_prev"] == m
+        assert r["l1_scaled"] == l1
+        assert r["tv"] == float(l1) / (2.0 * float(n) * float(m))
+    assert got[("z", t0 + dt.timedelta(hours=1))]["tv"] == 0.0
+    shift = got[("k", t0 + dt.timedelta(hours=3))]["tv"]
+    calm = got[("k", t0 + dt.timedelta(hours=2))]["tv"]
+    assert shift > 5 * calm
