@@ -4947,6 +4947,62 @@ def histogram_tv_drift_1h(spark, sf_dir):
     return histogram_distance(h1h, ["event_type"], "1h")
 
 
+@_q(
+    "seasonal_strength_1h",
+    """
+    WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bt,
+                          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
+                   FROM events GROUP BY 1, 2),
+         ph AS (SELECT event_type, bt, load,
+                       CAST(EXTRACT(hour FROM bt) AS INT) AS phz
+                FROM hload),
+         mfit AS (SELECT event_type, CAST(min(nn) AS BIGINT) AS m
+                  FROM (SELECT event_type, phz, count(*) AS nn
+                        FROM ph GROUP BY 1, 2)
+                  GROUP BY 1),
+         ranked AS (SELECT p.event_type, p.phz, p.load, f.m,
+                           row_number() OVER (PARTITION BY p.event_type, p.phz
+                                              ORDER BY p.bt) AS rk
+                    FROM ph p JOIN mfit f USING (event_type)),
+         pp AS (SELECT event_type, phz, m,
+                       CAST(sum(load) AS BIGINT) AS s1,
+                       CAST(sum(load * load) AS BIGINT) AS s2
+                FROM ranked WHERE rk <= m GROUP BY 1, 2, 3),
+         pk AS (SELECT event_type, m,
+                       CAST(count(*) AS BIGINT) AS n_phases,
+                       CAST(sum(s1) AS BIGINT) AS s1t,
+                       CAST(sum(s2) AS BIGINT) AS s2t,
+                       CAST(sum(s1 * s1) AS BIGINT) AS q
+                FROM pp GROUP BY 1, 2)
+    SELECT event_type, n_phases, m, CAST(n_phases * m AS BIGINT) AS n_used,
+           CASE WHEN CAST(s2t AS DOUBLE)
+                     - (CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
+                       / CAST(n_phases * m AS DOUBLE) > 0
+                THEN GREATEST(0.0, 1.0 -
+                     (CAST(s2t AS DOUBLE) - CAST(q AS DOUBLE) / CAST(m AS DOUBLE))
+                     / (CAST(s2t AS DOUBLE)
+                        - (CAST(s1t AS DOUBLE) * CAST(s1t AS DOUBLE))
+                          / CAST(n_phases * m AS DOUBLE)))
+           END AS strength
+    FROM pk
+    """,
+)
+def seasonal_strength_1h(spark, sf_dir):
+    """Seasonality strength of the hourly cents load per event_type
+    (operators/stats.seasonal_strength — Hyndman's F_s as balanced one-way
+    ANOVA R² over the hour-of-day profile): phases truncated to the
+    minimum phase count so both sums of squares are single-division
+    expressions of exact BIGINT moments — bitwise, no rounding."""
+    from mtsad_spark.operators.stats import seasonal_strength
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hload = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bt")
+    ).agg(F.sum(cents).alias("load"))
+    return seasonal_strength(hload, ["event_type"], "bt", "load")
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -4980,6 +5036,7 @@ _PRIORITY = [
     "funnel_view_click_purchase_1d",
     "sliding_histogram_p95_6h",
     "histogram_tv_drift_1h",
+    "seasonal_strength_1h",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -463,3 +463,75 @@ def fano_burstiness(
     return g.withColumn(
         "fano", num.cast("double") / den.cast("double")
     ).drop("_s2")
+
+
+def seasonal_strength(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    period_expr: str = "hour",
+) -> DataFrame:
+    """Seasonality strength per key over an integer tier series — how much
+    of the variance the seasonal phase profile explains (Hyndman's
+    ``F_s = max(0, 1 − Var(remainder)/Var(total))`` with the phase-mean
+    profile of :func:`seasonal_profile_residual` as the seasonal
+    component, i.e. the one-way ANOVA R²).
+
+    BALANCED-EXACT spec: phases are truncated to ``m = min_p n_p`` buckets
+    per key (the FIRST m by bucket time — deterministic), which makes both
+    sums of squares single-division expressions of exact BIGINT moments:
+    ``SS_w = ΣS2_p − (ΣS1_p²)/m`` and ``SS_t = ΣS2_p − (ΣS1_p)²/(P·m)``
+    — every integer is summed exactly (order-free), the handful of float
+    steps are fixed expressions, so the strength is bitwise across engines
+    and parallelism with NO rounding. Contract: ``Σ_p S1_p² < 2^63``
+    (cents-scale tier loads are orders below); the global square runs in
+    double (exact below 2^53).
+
+    The only windows rank tier points per (key, phase) — phase-bounded
+    frames. Returns ``(*keys, n_phases, m, n_used, strength)``;
+    zero-variance keys emit NULL strength.
+    """
+    phase = F.extract(F.lit(period_expr), F.col(ts_col)).cast("int")
+    d = df.select(
+        *keys, F.col(ts_col).alias("_bt"), phase.alias("_ph"),
+        F.col(val_col).cast("long").alias("_v"),
+    )
+    from mtsad_spark.plans.scope import scoped_persist
+
+    d = scoped_persist(d)  # feeds the min-count fit AND the ranked filter
+    m_fit = (
+        d.groupBy(*keys, "_ph")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(*keys)
+        .agg(F.min("_n").alias("_m"))
+    )
+    wr = Window.partitionBy(*keys, "_ph").orderBy("_bt")
+    ranked = (
+        d.withColumn("_rk", F.row_number().over(wr))
+        .join(m_fit, list(keys))
+        .filter(F.col("_rk") <= F.col("_m"))
+    )
+    per_phase = ranked.groupBy(*keys, "_ph", "_m").agg(
+        F.sum("_v").alias("_s1"), F.sum(F.col("_v") * F.col("_v")).alias("_s2")
+    )
+    per_key = per_phase.groupBy(*keys, "_m").agg(
+        F.count(F.lit(1)).alias("n_phases"),
+        F.sum("_s1").alias("_s1t"),
+        F.sum("_s2").alias("_s2t"),
+        F.sum(F.col("_s1") * F.col("_s1")).alias("_q"),
+    )
+    m_d = F.col("_m").cast("double")
+    n_d = (F.col("n_phases") * F.col("_m")).cast("double")
+    ssw = F.col("_s2t").cast("double") - F.col("_q").cast("double") / m_d
+    sst = F.col("_s2t").cast("double") - (
+        F.col("_s1t").cast("double") * F.col("_s1t").cast("double")
+    ) / n_d
+    strength = F.when(sst > 0, F.greatest(F.lit(0.0), F.lit(1.0) - ssw / sst))
+    return per_key.select(
+        *keys,
+        "n_phases",
+        F.col("_m").alias("m"),
+        (F.col("n_phases") * F.col("_m")).alias("n_used"),
+        strength.alias("strength"),
+    )

@@ -309,3 +309,57 @@ def test_fano_burstiness_vs_numpy(spark):
     assert got["bursty"]["fano"] > 50 * got["poisson"]["fano"]
     with pytest.raises(ValueError):
         fano_burstiness(df, ["key"], "ts", 60, 100)
+
+
+def test_seasonal_strength_vs_python(spark):
+    """Balanced-spec seasonality strength must equal a python recompute
+    bitwise, read near 1 for a strong daily profile and near 0 for noise,
+    and truncate unbalanced phases deterministically."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mtsad_spark.operators.stats import seasonal_strength
+
+    rng = np.random.default_rng(53)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    series = {}
+    for key, seasonal in (("wave", True), ("noise", False)):
+        vals = []
+        n_hours = 24 * 6 + 5  # unbalanced: 5 phases get an extra bucket
+        for h in range(n_hours):
+            base = 10_000 + (8_000 * np.sin(2 * np.pi * (h % 24) / 24) if seasonal else 0)
+            v = int(base + rng.integers(-500, 500))
+            ts = t0 + dt.timedelta(hours=h)
+            rows.append((key, ts, v))
+            vals.append((ts, v))
+        series[key] = vals
+    df = spark.createDataFrame(rows, "key string, ts timestamp, load long")
+    got = {r["key"]: r for r in seasonal_strength(df, ["key"], "ts", "load").collect()}
+
+    def spec(vals):
+        by_phase = {}
+        for ts, v in vals:
+            by_phase.setdefault(ts.hour, []).append((ts, v))
+        m = min(len(x) for x in by_phase.values())
+        s1t = s2t = q = 0
+        for ph, items in by_phase.items():
+            items.sort()
+            vs = [v for _, v in items[:m]]
+            s1, s2 = sum(vs), sum(v * v for v in vs)
+            s1t += s1
+            s2t += s2
+            q += s1 * s1
+        P = len(by_phase)
+        ssw = float(s2t) - float(q) / float(m)
+        sst = float(s2t) - (float(s1t) * float(s1t)) / float(P * m)
+        return P, m, max(0.0, 1.0 - ssw / sst)
+
+    for key, vals in series.items():
+        P, m, want = spec(vals)
+        r = got[key]
+        assert (r["n_phases"], r["m"], r["n_used"]) == (P, m, P * m)
+        assert r["strength"] == want, key  # bitwise
+    assert got["wave"]["strength"] > 0.95
+    assert got["noise"]["strength"] < 0.2
