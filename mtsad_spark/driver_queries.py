@@ -5003,6 +5003,92 @@ def seasonal_strength_1h(spark, sf_dir):
     return seasonal_strength(hload, ["event_type"], "bt", "load")
 
 
+@_q(
+    "session_type_lift",
+    """
+    WITH g AS (SELECT user_id, ts, event_id, event_type,
+                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, event_type,
+                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+               FROM g),
+         st AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+         n AS (SELECT CAST(count(DISTINCT (user_id, sid)) AS BIGINT) AS n_sessions
+               FROM st),
+         marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+                  FROM st GROUP BY 1),
+         pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                          CAST(count(*) AS BIGINT) AS n_ab
+                   FROM st a JOIN st b
+                     ON a.user_id = b.user_id AND a.sid = b.sid
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2)
+    SELECT p.type_a, p.type_b, ma.n_t AS n_a, mb.n_t AS n_b, p.n_ab,
+           n.n_sessions,
+           CAST(n.n_sessions * p.n_ab AS DOUBLE)
+             / CAST(ma.n_t * mb.n_t AS DOUBLE) AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b, n
+    """,
+)
+def session_type_lift(spark, sf_dir):
+    """Event-type co-occurrence lift within 30-min sessions (market-basket
+    association over the sessionization the engine already computes):
+    lift(a,b) = N·n_ab/(n_a·n_b) — all counts BIGINT, one float division,
+    bitwise. The pair join runs on DISTINCT (session, type) rows — at most
+    |types| per session, never event-sized fan-out."""
+    from pyspark.sql import Window
+
+    from mtsad_spark.plans.scope import scoped_persist
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    st = scoped_persist(
+        ev.withColumn("_n", new_s)
+        .withColumn("sid", F.sum("_n").over(cum))
+        .select("user_id", "sid", "event_type")
+        .distinct()
+    )
+    n = st.select("user_id", "sid").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    marg = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select("user_id", "sid", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "sid", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "sid"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    out = (
+        pairs.join(
+            marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")),
+            "type_a",
+        )
+        .join(
+            marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return out.select(
+        "type_a", "type_b", "n_a", "n_b", "n_ab", "n_sessions",
+        (
+            (F.col("n_sessions") * F.col("n_ab")).cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("lift"),
+    )
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5037,6 +5123,7 @@ _PRIORITY = [
     "sliding_histogram_p95_6h",
     "histogram_tv_drift_1h",
     "seasonal_strength_1h",
+    "session_type_lift",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",
