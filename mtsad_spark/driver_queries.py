@@ -5089,6 +5089,308 @@ def session_type_lift(spark, sf_dir):
     )
 
 
+_HOURLY_LOAD_CTE = (
+    "WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts, "
+    "CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS lv "
+    "FROM events GROUP BY 1, 2)"
+)
+
+
+@_q(
+    "anomaly_episodes_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    , tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_b,
+                     CAST(sum(lv) AS BIGINT) AS s_tot
+              FROM hourly GROUP BY 1),
+    hot AS (SELECT h.event_type, h.bucket_ts, h.lv,
+                   CAST(floor(epoch(h.bucket_ts)) AS BIGINT) AS ep
+            FROM hourly h JOIN tot t USING (event_type)
+            WHERE 5 * h.lv * t.n_b > 6 * t.s_tot),
+    g AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                         OR ep - lag(ep) OVER w > 7200 THEN 1 ELSE 0 END AS new_e
+          FROM hot WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
+    e AS (SELECT *, sum(new_e) OVER (PARTITION BY event_type ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eid
+          FROM g)
+    SELECT event_type, min(bucket_ts) AS start_ts, max(bucket_ts) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_hot,
+           CAST(max(ep) - min(ep) + 3600 AS BIGINT) AS duration_s,
+           CAST(max(lv) AS BIGINT) AS peak_cents,
+           CAST(sum(lv) AS BIGINT) AS sum_cents
+    FROM e GROUP BY event_type, eid HAVING count(*) >= 2
+    """,
+)
+def anomaly_episodes_1h(spark, sf_dir):
+    """Alert episodes over the hourly tier (operators/alerts.episodes):
+    buckets whose cents load exceeds 1.2× the per-type mean — the EXACT
+    integer inequality 5·load·n > 6·Σload, no float threshold anywhere —
+    merged gaps-and-islands style with merge_gap=1 (one cold/missing hour
+    tolerated inside an episode) and min_len=2 (the Prometheus ``for:``
+    rule). Windows run over threshold-selected TIER points only."""
+    from mtsad_spark.operators.alerts import episodes
+
+    h = _hourly_load_df(spark, sf_dir)
+    tot = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_b"), F.sum("lv").alias("s_tot")
+    )
+    j = h.join(tot, "event_type").withColumn(
+        "is_hot", 5 * F.col("lv") * F.col("n_b") > 6 * F.col("s_tot")
+    )
+    ep = episodes(
+        j, ["event_type"], "bucket_ts", 3600, val_col="lv", merge_gap=1, min_len=2
+    )
+    return ep.select(
+        "event_type", "start_ts", "end_ts", "n_hot", "duration_s",
+        F.col("peak_val").alias("peak_cents"), F.col("sum_val").alias("sum_cents"),
+    )
+
+
+_ACF_LAGS = [1, 2, 3, 6, 12, 24]
+
+
+def _acf_oracle() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag_k, lv AS x, lag(lv, {k}) OVER "
+        "(PARTITION BY event_type ORDER BY bucket_ts) AS y FROM hourly"
+        for k in _ACF_LAGS
+    )
+    return (
+        _HOURLY_LOAD_CTE
+        + f"""
+    , p AS ({arms}),
+    m AS (SELECT event_type, lag_k, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM p WHERE y IS NOT NULL GROUP BY 1, 2)
+    SELECT event_type, CAST(lag_k AS INTEGER) AS lag_k,
+           CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS acf
+    FROM m
+    """
+    )
+
+
+@_q("acf_hourly_loads", _acf_oracle())
+def acf_hourly_loads(spark, sf_dir):
+    """Autocorrelation of the hourly cents load per event_type at lags
+    1/2/3/6/12/24 (operators/stats.acf): five BIGINT moments per (type,
+    lag), ONE float step num/(√d1·√d2) — bitwise, no rounding. The lag
+    windows run over tier points only."""
+    from mtsad_spark.operators.stats import acf
+
+    h = _hourly_load_df(spark, sf_dir)
+    out = acf(h, ["event_type"], "bucket_ts", "lv", _ACF_LAGS)
+    return out.select(
+        "event_type", F.col("lag").cast("int").alias("lag_k"), "n_pairs", "acf"
+    )
+
+
+@_q(
+    "spearman_pairs_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    , j AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.lv AS x, b.lv AS y
+            FROM hourly a JOIN hourly b
+              ON a.bucket_ts = b.bucket_ts AND a.event_type < b.event_type),
+    r AS (SELECT type_a, type_b,
+                 2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY x)
+                   + count(*) OVER (PARTITION BY type_a, type_b, x) - 1 AS rx,
+                 2 * rank() OVER (PARTITION BY type_a, type_b ORDER BY y)
+                   + count(*) OVER (PARTITION BY type_a, type_b, y) - 1 AS ry
+          FROM j),
+    m AS (SELECT type_a, type_b, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+                 sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+          FROM r GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(n AS BIGINT) AS n_obs,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+           END AS spearman
+    FROM m
+    """,
+)
+def spearman_pairs_1h(spark, sf_dir):
+    """Pairwise Spearman rank correlation between event-type hourly load
+    series on their common buckets (operators/stats.spearman_corr): Pearson
+    over integer DOUBLE RANKS 2·rank_min+ties−1, five BIGINT moments, ONE
+    float step — bitwise. The robust twin of cross_series_correlation."""
+    from mtsad_spark.operators.stats import spearman_corr
+    from mtsad_spark.plans.scope import scoped_persist
+
+    h = scoped_persist(_hourly_load_df(spark, sf_dir))
+    a = h.select(
+        F.col("event_type").alias("type_a"), "bucket_ts", F.col("lv").alias("x")
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"), "bucket_ts", F.col("lv").alias("y")
+    )
+    j = a.join(b, "bucket_ts").filter(F.col("type_a") < F.col("type_b"))
+    return spearman_corr(j, ["type_a", "type_b"], "x", "y", out_col="spearman")
+
+
+@_q(
+    "trimmed_mean_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    , rk AS (SELECT event_type, lv, row_number() OVER
+                 (PARTITION BY event_type ORDER BY lv, bucket_ts) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+             FROM hourly),
+    tt AS (SELECT *, CAST(floor(n * 0.1) AS BIGINT) AS t FROM rk),
+    g AS (SELECT event_type, max(n) AS n, max(t) AS t,
+                 sum(CASE WHEN rn BETWEEN t + 1 AND n - t THEN lv END) AS smid,
+                 min(CASE WHEN rn BETWEEN t + 1 AND n - t THEN lv END) AS vlo,
+                 max(CASE WHEN rn BETWEEN t + 1 AND n - t THEN lv END) AS vhi
+          FROM tt GROUP BY 1)
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           CAST(t AS BIGINT) AS n_trimmed_each,
+           CAST(smid AS DOUBLE) / (CAST(n - 2 * t AS DOUBLE) * 100.0)
+             AS trimmed_mean,
+           CAST(smid + t * (vlo + vhi) AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0) AS winsor_mean
+    FROM g
+    """,
+)
+def trimmed_mean_1h(spark, sf_dir):
+    """10%-trimmed and winsorized mean of the hourly cents load per
+    event_type (operators/stats.trimmed_means): deterministic row_number
+    selection over tier points, BIGINT sums, one division each — bitwise."""
+    from mtsad_spark.operators.stats import trimmed_means
+
+    h = _hourly_load_df(spark, sf_dir)
+    return trimmed_means(h, ["event_type"], "lv", 0.1, "bucket_ts", scale=100.0)
+
+
+@_q(
+    "cube_rollup_events",
+    """
+    WITH base AS (SELECT event_type,
+                         strftime(date_trunc('day', ts), '%Y-%m-%d') AS day_s,
+                         CAST(round(value * 100, 0) AS BIGINT) AS cents
+                  FROM events)
+    SELECT coalesce(event_type, '(all)') AS event_type_g,
+           coalesce(day_s, '(all)') AS day_g,
+           CAST(GROUPING(event_type, day_s) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM base GROUP BY CUBE (event_type, day_s)
+    """,
+)
+def cube_rollup_events(spark, sf_dir):
+    """OLAP CUBE over (event_type, day): all four grouping sets in one
+    shuffle (Catalyst Expand), integer-cents sums exact. The grouping_id
+    bitmask disambiguates data NULLs from subtotal rows; labels are
+    coalesced to '(all)' for the portable hash."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day_s"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    out = base.cube("event_type", "day_s").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return out.select(
+        F.coalesce("event_type", F.lit("(all)")).alias("event_type_g"),
+        F.coalesce("day_s", F.lit("(all)")).alias("day_g"),
+        F.col("gid").cast("long").alias("gid"),
+        "n_events",
+        "sum_cents",
+    )
+
+
+@_q(
+    "vocab_growth_docs",
+    r"""
+    WITH tok AS (SELECT source, doc_id - doc_id % 1000 AS bucket,
+                        unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents),
+    fo AS (SELECT source, token, min(bucket) AS bucket FROM tok GROUP BY 1, 2),
+    nt AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS new_types
+           FROM fo GROUP BY 1, 2),
+    tt AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_tokens
+           FROM tok GROUP BY 1, 2),
+    j AS (SELECT t.source, t.bucket, t.n_tokens,
+                 coalesce(n.new_types, 0) AS new_types
+          FROM tt t LEFT JOIN nt n USING (source, bucket))
+    SELECT source, CAST(bucket AS BIGINT) AS bucket, n_tokens,
+           CAST(new_types AS BIGINT) AS new_types,
+           CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+           CAST(sum(new_types) OVER w AS BIGINT) AS cum_types
+    FROM j WINDOW w AS (PARTITION BY source ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def vocab_growth_docs(spark, sf_dir):
+    """Heaps'-law vocabulary growth per source (functions/text.vocab_growth):
+    cumulative distinct token types vs cumulative tokens at 1000-doc
+    buckets. First occurrences are map-side min(bucket) — the only windows
+    are per-source cumulative sums over BUCKET rows."""
+    from mtsad_spark.functions.text import vocab_growth
+
+    return vocab_growth(_docs(spark, sf_dir), "source", "doc_id", "text", 1000)
+
+
+@_q(
+    "lang_entropy_by_source",
+    """
+    WITH lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY 1, 2),
+    agg AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(sum(cnt * CAST(round(ln(cnt) * 1000000, 0) AS BIGINT))
+                        AS BIGINT) AS term
+            FROM lc GROUP BY 1)
+    SELECT source, n_docs, n_langs,
+           CAST(n_docs * CAST(round(ln(n_docs) * 1000000, 0) AS BIGINT) - term
+                AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 1000000.0)
+             AS entropy_nats
+    FROM agg
+    """,
+)
+def lang_entropy_by_source(spark, sf_dir):
+    """Shannon entropy of the language mix per source — corpus-diversity
+    diagnostic for LLM-data pipelines. Exact micro-int ln discipline (the
+    token_unigram_logprob pattern): H = (n·L(n) − Σc·L(c)) / (n·10⁶) with
+    L = round(ln·10⁶) of INTEGER counts, so the sums are BIGINT and the
+    ONE division is bitwise (quantized-log semantics, both engines)."""
+    docs = _docs(spark, sf_dir)
+    lnq = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("long")
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = lc.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("cnt") * lnq(F.col("cnt"))).alias("term"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (
+            (F.col("n_docs") * lnq(F.col("n_docs")) - F.col("term")).cast("double")
+            / (F.col("n_docs").cast("double") * F.lit(1000000.0))
+        ).alias("entropy_nats"),
+    )
+
+
+def _hourly_load_df(spark, sf_dir) -> DataFrame:
+    """Hourly integer-cents load tier per event_type (the _HOURLY_LOAD_CTE
+    twin: lv = sum of exact cents — BIGINT both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("lv"))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5124,6 +5426,13 @@ _PRIORITY = [
     "histogram_tv_drift_1h",
     "seasonal_strength_1h",
     "session_type_lift",
+    "anomaly_episodes_1h",
+    "acf_hourly_loads",
+    "spearman_pairs_1h",
+    "trimmed_mean_1h",
+    "cube_rollup_events",
+    "vocab_growth_docs",
+    "lang_entropy_by_source",
     "ivf_ann_embeddings",
     "histogram_tier_1d_composed",
     "histogram_quantile_p95_1h",

@@ -362,3 +362,61 @@ def token_drift_contributions(
             "rk",
         )
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    text_col: str,
+    bucket_size: int,
+) -> DataFrame:
+    """Vocabulary growth curve per group — cumulative distinct token types
+    vs cumulative token count along the corpus in ``id_col`` order, the
+    empirical Heaps'-law curve (``V(n) ≈ K·n^β``, classic corpus
+    statistics) used to diagnose dedup quality and corpus diversity in
+    LLM-data pipelines. Beyond-reference pipeline surface over the same
+    whitespace tokenization as the quality/TF-IDF ops.
+
+    Scale shape: the "first occurrence" of each type is a map-side-combined
+    ``min(bucket)`` over (group, token) — never an ordered scan; per-bucket
+    token totals are plain counts; the ONLY windows are cumulative sums per
+    group over BUCKET rows (``n_docs / bucket_size`` — corpus-size / B,
+    bounded by construction, the keyed-prefix-sum discipline). All outputs
+    are BIGINT counts — exact, order-independent, engine-portable.
+
+    Buckets are ``id − id % bucket_size`` (the bucket's first id; ids must
+    be non-negative but need not be dense); empty buckets are simply
+    absent. Returns
+    ``(group, bucket, n_tokens, new_types, cum_tokens, cum_types)``.
+    """
+    from pyspark.sql import Window
+
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        (F.col(id_col).cast("long") - (F.col(id_col).cast("long") % bucket_size))
+        .alias("bucket"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")  # Spark split keeps boundary empties
+    first = (
+        tok.groupBy("grp", "token")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    totals = tok.groupBy("grp", "bucket").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    j = totals.join(first, ["grp", "bucket"], "left").fillna(0, ["new_types"])
+    cum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        j.withColumn("cum_tokens", F.sum("n_tokens").over(cum))
+        .withColumn("cum_types", F.sum("new_types").over(cum))
+        .withColumnRenamed("grp", group_col)
+    )

@@ -535,3 +535,176 @@ def seasonal_strength(
         (F.col("n_phases") * F.col("_m")).alias("n_used"),
         strength.alias("strength"),
     )
+
+
+def acf(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    val_col: str,
+    lags: list[int],
+) -> DataFrame:
+    """Sample autocorrelation of an integer tier series per key at each
+    requested lag — the Pearson correlation between the series and its
+    k-point shift over the overlapping points (the statsmodels
+    ``acf(adjusted)``-style pairwise form, re-expressed as exact moments).
+    Beyond-reference observability surface: ACF is the standard
+    periodicity/memory diagnostic feeding the reference's window-size and
+    seasonality choices (cf. seasonal_strength; the reference hard-codes
+    window lengths, e.g. /root/reference/statistication/main.py).
+
+    Exactness: one pass builds all lag columns with ``F.lag`` over TIER
+    POINTS per key (bounded by retention — never raw rows), stacks them to
+    ``(key, lag, x, y)`` pairs, and aggregates the five BIGINT moments; the
+    ONE float step per (key, lag) is ``num / (sqrt(d1)·sqrt(d2))`` on
+    exactly-representable integers (the rolling_corr discipline) —
+    bitwise across engines and parallelism. Contract: ``n·Σx² < 2^63``.
+
+    Lags are POINT shifts in ``order_col`` order — compose with gap_fill
+    first when missing buckets must count as time. Returns
+    ``(*keys, lag, n_pairs, acf)``; degenerate variance emits NULL.
+    """
+    if not lags or any(k <= 0 for k in lags):
+        raise ValueError("lags must be positive ints")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    x = F.col(val_col).cast("long")
+    d = df.select(*keys, F.col(order_col), x.alias("_x"))
+    for k in lags:
+        d = d.withColumn(f"_y{k}", F.lag("_x", k).over(w))
+    stack = ", ".join(f"{k}, _y{k}" for k in lags)
+    pairs = d.select(
+        *keys,
+        F.col("_x"),
+        F.expr(f"stack({len(lags)}, {stack}) AS (lag, _y)"),
+    ).filter(F.col("_y").isNotNull())
+    g = pairs.groupBy(*keys, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d1 = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    d2 = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double")
+        / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+    )
+    return g.withColumn("acf", corr).drop("_sx", "_sy", "_sxy", "_sxx", "_syy")
+
+
+def spearman_corr(
+    df: DataFrame,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "spearman",
+) -> DataFrame:
+    """Spearman rank correlation per key over aligned observation rows —
+    Pearson over tie-averaged ranks, the robust (monotone-invariant)
+    companion to ``rolling_corr``/``cross_series_correlation``. Beyond-
+    reference robust-stats surface (the reference's correlation uses raw
+    pandas ``corr``, e.g. feature screening in
+    /root/reference/transformation/eeg_eye_state.py).
+
+    EXACT-INTEGER spec: the tie-averaged rank ``rank_min + (t−1)/2`` (t =
+    tie-group size) is fractional, so the op works on DOUBLE RANKS
+    ``2·rank_min + t − 1`` — always integers, and Pearson is scale-
+    invariant, so ρ over double ranks equals ρ over average ranks. All
+    five moments stay BIGINT; the ONE float step is
+    ``num / (sqrt(d1)·sqrt(d2))`` — bitwise across engines/parallelism.
+    Contract: ``n³ ≲ 2^61`` per key (tier-point counts are orders below).
+
+    Rank windows run per key over TIER POINTS (aligned observations of two
+    series — bounded by retention), never raw rows. Returns
+    ``(*keys, n_obs, out_col)``; constant series emit NULL.
+    """
+    wx = Window.partitionBy(*keys).orderBy(x_col)
+    wy = Window.partitionBy(*keys).orderBy(y_col)
+    tx = Window.partitionBy(*keys, x_col)
+    ty = Window.partitionBy(*keys, y_col)
+    d = df.select(*keys, F.col(x_col), F.col(y_col)).withColumns(
+        {
+            "_rx": 2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1,
+            "_ry": 2 * F.rank().over(wy) + F.count(F.lit(1)).over(ty) - 1,
+        }
+    )
+    rx, ry = F.col("_rx").cast("long"), F.col("_ry").cast("long")
+    g = d.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(rx).alias("_sx"),
+        F.sum(ry).alias("_sy"),
+        F.sum(rx * ry).alias("_sxy"),
+        F.sum(rx * rx).alias("_sxx"),
+        F.sum(ry * ry).alias("_syy"),
+    )
+    n = F.col("n_obs")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    d1 = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    d2 = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when(
+        (d1 > 0) & (d2 > 0),
+        num.cast("double")
+        / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))),
+    )
+    return g.withColumn(out_col, rho).drop("_sx", "_sy", "_sxy", "_sxx", "_syy")
+
+
+def trimmed_means(
+    df: DataFrame,
+    keys: list[str],
+    val_col: str,
+    trim_frac: float,
+    tiebreak_col: str,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Trimmed AND winsorized mean of an integer tier series per key — the
+    robust location estimators between the reference's mean (z-score path)
+    and median (median_mad path): drop (trimmed) or clamp (winsorized) the
+    lowest/highest ``floor(n·trim_frac)`` points.
+
+    EXACT spec: ranks come from ``row_number`` over ``(val, tiebreak)`` —
+    fully deterministic — so the kept set and the two winsor fences
+    (values at ranks ``t+1`` and ``n−t``) are exact integer selections.
+    Both means are one BIGINT sum over bounded frames divided once by
+    ``scale·count`` — bitwise across engines/parallelism. ``scale`` converts
+    integer units back (100.0 for cents).
+
+    The only window is a row_number per key over TIER POINTS (the
+    median_mad contract — bounded by retention, never raw rows). Returns
+    ``(*keys, n_obs, n_trimmed_each, trimmed_mean, winsor_mean)``.
+    """
+    if not 0 <= trim_frac < 0.5:
+        raise ValueError("trim_frac must be in [0, 0.5)")
+    w = Window.partitionBy(*keys).orderBy("_v", tiebreak_col)
+    v = F.col(val_col).cast("long")
+    d = df.select(*keys, v.alias("_v"), F.col(tiebreak_col)).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    counts = d.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_obs"))
+    d = d.join(counts, list(keys)).withColumn(
+        "_t", F.floor(F.col("n_obs") * F.lit(float(trim_frac))).cast("long")
+    )
+    lo, hi = F.col("_t") + 1, F.col("n_obs") - F.col("_t")
+    mid = F.col("_rn").between(lo, hi)
+    g = d.groupBy(*keys, "n_obs", "_t").agg(
+        F.sum(F.when(mid, F.col("_v"))).alias("_smid"),
+        F.min(F.when(mid, F.col("_v"))).alias("_vlo"),
+        F.max(F.when(mid, F.col("_v"))).alias("_vhi"),
+    )
+    kept = (F.col("n_obs") - 2 * F.col("_t")).cast("double") * F.lit(float(scale))
+    wsum = F.col("_smid") + F.col("_t") * (F.col("_vlo") + F.col("_vhi"))
+    return g.select(
+        *keys,
+        "n_obs",
+        F.col("_t").alias("n_trimmed_each"),
+        (F.col("_smid").cast("double") / kept).alias("trimmed_mean"),
+        (
+            wsum.cast("double")
+            / (F.col("n_obs").cast("double") * F.lit(float(scale)))
+        ).alias("winsor_mean"),
+    )

@@ -697,3 +697,53 @@ def test_token_drift_contributions_vs_python(spark):
         for r in got.itertuples(index=False)
     ] == want
     assert (got.bucket_ts == t0 + dt.timedelta(seconds=600)).all()
+
+
+def test_vocab_growth_vs_python(spark):
+    """vocab_growth must equal a pure-python first-occurrence scan: per
+    group, cumulative tokens and cumulative distinct types at each id
+    bucket, with sparse ids and a no-token doc handled."""
+    import numpy as np
+
+    from mtsad_spark.functions.text import vocab_growth
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for g, n_docs, vocab in (("a", 37, 12), ("b", 9, 5)):
+        ids = sorted(rng.choice(200, size=n_docs, replace=False).tolist())
+        for i in ids:
+            toks = rng.integers(0, vocab, size=int(rng.integers(0, 9)))
+            rows.append((g, int(i), " ".join(f"w{t}" for t in toks)))
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+
+    exp = {}
+    for g in ("a", "b"):
+        seen, cum_tok, cum_typ = set(), 0, 0
+        per_bucket = {}
+        for gg, i, text in sorted(rows, key=lambda r: r[1]):
+            if gg != g:
+                continue
+            b = i - i % 10
+            toks = text.split()
+            nt = sum(1 for t in toks if t not in seen and not seen.add(t))
+            per_bucket.setdefault(b, [0, 0])
+            per_bucket[b][0] += len(toks)
+            per_bucket[b][1] += nt
+        for b in sorted(per_bucket):
+            n_tok, new_t = per_bucket[b]
+            if n_tok == 0:
+                continue  # token-less buckets are absent from the output
+            cum_tok += n_tok
+            cum_typ += new_t
+            exp[(g, b)] = (n_tok, new_t, cum_tok, cum_typ)
+
+    got = {
+        (r.source, r.bucket): (r.n_tokens, r.new_types, r.cum_tokens, r.cum_types)
+        for r in vocab_growth(df, "source", "doc_id", "text", 10).collect()
+    }
+    assert got == exp
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        vocab_growth(df, "source", "doc_id", "text", 0)

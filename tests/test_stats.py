@@ -363,3 +363,109 @@ def test_seasonal_strength_vs_python(spark):
         assert r["strength"] == want, key  # bitwise
     assert got["wave"]["strength"] > 0.95
     assert got["noise"]["strength"] < 0.2
+
+
+def test_acf_vs_numpy(spark):
+    """acf must equal np.corrcoef(x[k:], x[:-k]) per key and lag, bitwise
+    against the integer-moment formula, and NULL on constant series."""
+    import numpy as np
+
+    from mtsad_spark.operators.stats import acf
+
+    rng = np.random.default_rng(11)
+    series = {
+        "s": (100 * np.sin(np.arange(48) * 2 * np.pi / 12) + 500).astype(int),
+        "r": rng.integers(0, 1000, 48),
+        "c": np.full(48, 7),
+    }
+    rows = [
+        (k, int(i), int(v)) for k, xs in series.items() for i, v in enumerate(xs)
+    ]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    got = {
+        (r.k, r.lag): (r.n_pairs, r.acf)
+        for r in acf(df, ["k"], "i", "v", [1, 12, 24]).collect()
+    }
+    for k, xs in series.items():
+        for lag in (1, 12, 24):
+            n_pairs, rho = got[(k, lag)]
+            assert n_pairs == 48 - lag
+            x, y = xs[lag:].astype(np.int64), xs[:-lag].astype(np.int64)
+            if k == "c":
+                assert rho is None
+                continue
+            n = len(x)
+            num = n * int(np.sum(x * y)) - int(np.sum(x)) * int(np.sum(y))
+            d1 = n * int(np.sum(x * x)) - int(np.sum(x)) ** 2
+            d2 = n * int(np.sum(y * y)) - int(np.sum(y)) ** 2
+            expect = float(num) / (np.sqrt(float(d1)) * np.sqrt(float(d2)))
+            assert rho == expect  # bitwise
+            assert abs(rho - np.corrcoef(x, y)[0, 1]) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        acf(df, ["k"], "i", "v", [])
+    with _pt.raises(ValueError):
+        acf(df, ["k"], "i", "v", [0])
+
+
+def test_spearman_vs_pandas(spark):
+    """spearman_corr must equal pandas' tie-averaged Spearman per key
+    (monotone map of x gives exactly 1) and NULL on a constant side."""
+    import numpy as np
+    import pandas as pd
+
+    from mtsad_spark.operators.stats import spearman_corr
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 50, 200)          # plenty of ties
+    y_mono = (x.astype(np.int64) ** 3) * 2 + 1
+    y_noise = rng.integers(0, 50, 200)
+    rows = (
+        [("mono", int(a), int(b)) for a, b in zip(x, y_mono)]
+        + [("noise", int(a), int(b)) for a, b in zip(x, y_noise)]
+        + [("const", int(a), 5) for a in x]
+    )
+    df = spark.createDataFrame(rows, "k string, x long, y long")
+    got = {
+        r.k: (r.n_obs, r.spearman)
+        for r in spearman_corr(df, ["k"], "x", "y").collect()
+    }
+    assert got["const"][1] is None
+    assert got["mono"] == (200, 1.0)
+    expect = (
+        pd.Series(x).rank().corr(pd.Series(y_noise).rank(), method="pearson")
+    )
+    assert abs(got["noise"][1] - expect) < 1e-12
+
+
+def test_trimmed_means_vs_python(spark):
+    """trimmed_means must equal the sorted-python trim/winsorize at several
+    fractions, honor the deterministic tiebreak, and scale integer units."""
+    import numpy as np
+    import pytest as _pt
+
+    from mtsad_spark.operators.stats import trimmed_means
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-500, 500, 101)
+    rows = [("a", int(i), int(v)) for i, v in enumerate(vals)]
+    rows += [("b", int(i), int(v)) for i, v in enumerate(vals[:10])]
+    df = spark.createDataFrame(rows, "k string, i long, v long")
+    for frac in (0.0, 0.1, 0.25, 0.49):
+        got = {
+            r.k: r
+            for r in trimmed_means(df, ["k"], "v", frac, "i", scale=100.0).collect()
+        }
+        for k, xs in (("a", vals), ("b", vals[:10])):
+            s = np.sort(xs.astype(np.int64))
+            n, t = len(s), int(np.floor(len(s) * frac))
+            mid = s[t : n - t]
+            exp_tr = float(int(mid.sum())) / (float(n - 2 * t) * 100.0)
+            wsum = int(mid.sum()) + t * (int(s[t]) + int(s[n - t - 1]))
+            exp_wz = float(wsum) / (float(n) * 100.0)
+            r = got[k]
+            assert (r.n_obs, r.n_trimmed_each) == (n, t)
+            assert r.trimmed_mean == exp_tr and r.winsor_mean == exp_wz
+    with _pt.raises(ValueError):
+        trimmed_means(df, ["k"], "v", 0.5, "i")
