@@ -2070,6 +2070,28 @@ def cross_series_correlation(spark, sf_dir):
     )
 
 
+def _with_session_ids(ev, sid_col: str = "session_id"):
+    """Shared 30-min-gap sessionization (lag + cumsum boundary trick) — the
+    ONE definition behind sessionize_users / session_concurrency_1m /
+    session_type_lift (code-review r6: three verbatim copies risked silent
+    divergence). The boundary rule (strict ``ts > prev + 30min``, event_id
+    tiebreak) must stay consistent with
+    streaming/sessionize_stream.sessionize's strict-boundary semantics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("_n", new_s)
+        .withColumn(sid_col, F.sum("_n").over(cum))
+        .drop("_n")
+    )
+
+
 @_q(
     "sessionize_users",
     """
@@ -2089,18 +2111,7 @@ def cross_series_correlation(spark, sf_dir):
 def sessionize_users(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): cumulative-sum-of-
     boundaries trick — two window passes, no UDF, scales per user key."""
-    from pyspark.sql import Window
-
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    prev = F.lag("ts").over(w)
-    new_s = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
-    ).otherwise(0)
-    s = ev.withColumn("_n", new_s).withColumn("session_id", F.sum("_n").over(cum))
+    s = _with_session_ids(_t(spark, sf_dir, "events"))
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -4102,7 +4113,12 @@ def _lttb_sql(n_out: int = 12) -> str:
     step count needs no recursive CTE): bucket bounds are pure integer
     division, the effective-area argmax is an all-BIGINT cross product with
     first-max/smallest-index tiebreak, so both engines select identical
-    points with zero float arithmetic anywhere."""
+    points with zero float arithmetic anywhere.
+
+    Keys with ``n <= n_out`` take the operator's PASSTHROUGH branch (all
+    points, sel_pos = i) — they are excluded from the bucket-CTE machinery
+    (whose zero-width ranges would empty a{i} and inner-join the key away)
+    and unioned in whole (code-review r6)."""
     nb = n_out - 2
     sql = """
     WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
@@ -4114,12 +4130,13 @@ def _lttb_sql(n_out: int = 12) -> str:
                      - CAST(min(epoch(bucket_ts)) OVER (PARTITION BY event_type) AS BIGINT) AS t,
                    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
             FROM hload),
-    s0 AS (SELECT key, CAST(0 AS BIGINT) AS si FROM pts WHERE i = 0)"""
+    s0 AS (SELECT key, CAST(0 AS BIGINT) AS si FROM pts WHERE i = 0 AND n > {nout})"""
     for i in range(nb):
         sql += """,
     a{i} AS (SELECT key, count(*) AS na, sum(t) AS st, sum(load) AS sv
              FROM pts
-             WHERE i >= LEAST(1 + ({i1} * (n - 2)) // {nb}, n)
+             WHERE n > {nout}
+               AND i >= LEAST(1 + ({i1} * (n - 2)) // {nb}, n)
                AND i <  LEAST(1 + ({i2} * (n - 2)) // {nb}, n)
              GROUP BY key),
     s{i1} AS (SELECT key, ci AS si FROM (
@@ -4137,16 +4154,19 @@ def _lttb_sql(n_out: int = 12) -> str:
       ) WHERE rk = 1)""".replace("{i1}", str(i + 1)).replace(
             "{i2}", str(i + 2)
         ).replace("{i}", str(i)).replace("{nb}", str(nb))
-    unions = " UNION ALL ".join(
-        f"SELECT * FROM s{j}" for j in range(nb + 1)
-    ) + " UNION ALL SELECT key, max(i) AS si FROM pts GROUP BY key"
+    unions = (
+        " UNION ALL ".join(f"SELECT * FROM s{j}" for j in range(nb + 1))
+        + " UNION ALL SELECT key, max(i) AS si FROM pts"
+        "  WHERE n > {nout} GROUP BY key"
+        " UNION ALL SELECT key, i AS si FROM pts WHERE n <= {nout}"
+    )
     sql += f""",
     allsel AS ({unions})
     SELECT p.key AS event_type, p.bucket_ts, p.load,
            CAST(row_number() OVER (PARTITION BY p.key ORDER BY p.i) - 1 AS INT) AS sel_pos
     FROM allsel a2 JOIN pts p ON p.key = a2.key AND p.i = a2.si
     """
-    return sql
+    return sql.replace("{nout}", str(n_out))
 
 
 @_q("lttb_downsample_1h", _lttb_sql())
@@ -4658,20 +4678,10 @@ def session_concurrency_1m(spark, sf_dir):
     the oracle's serial global window is the semantic spec; the engine's
     only sequential window runs over the bucket-count frame. Sparse
     change-point rows (compose with LOCF gap-fill for a dense spine)."""
-    from pyspark.sql import Window
-
     from mtsad_spark.operators.prefix import concurrency_curve
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("ts").over(w)
-    new_s = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
-    ).otherwise(0)
     sess = (
-        ev.withColumn("_n", new_s)
-        .withColumn("session_id", F.sum("_n").over(cum))
+        _with_session_ids(_t(spark, sf_dir, "events"))
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
     )
@@ -5040,20 +5050,10 @@ def session_type_lift(spark, sf_dir):
     lift(a,b) = N·n_ab/(n_a·n_b) — all counts BIGINT, one float division,
     bitwise. The pair join runs on DISTINCT (session, type) rows — at most
     |types| per session, never event-sized fan-out."""
-    from pyspark.sql import Window
-
     from mtsad_spark.plans.scope import scoped_persist
 
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev = F.lag("ts").over(w)
-    new_s = F.when(
-        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES")), 1
-    ).otherwise(0)
     st = scoped_persist(
-        ev.withColumn("_n", new_s)
-        .withColumn("sid", F.sum("_n").over(cum))
+        _with_session_ids(_t(spark, sf_dir, "events"), "sid")
         .select("user_id", "sid", "event_type")
         .distinct()
     )
@@ -5391,6 +5391,337 @@ def _hourly_load_df(spark, sf_dir) -> DataFrame:
     ).agg(F.sum(cents).alias("lv"))
 
 
+@_q(
+    "rolling_median_24h_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    SELECT event_type, bucket_ts, lv,
+           CAST(count(*) OVER w AS INT) AS n_w,
+           CAST(median(lv) OVER w AS DOUBLE) AS med
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_median_24h_1h(spark, sf_dir):
+    """Exact 24h rolling median of the hourly tier (operators/stats.
+    rolling_median — the ROBUST sliding baseline next to zscore_roll24's
+    mean/σ): sorted collect_list frame, odd → element, even → (a+b)/2 of
+    exact integer cents — values are ints or .5 halves, bitwise equal to
+    DuckDB's windowed median."""
+    from mtsad_spark.operators.stats import rolling_median
+
+    h = _hourly_load_df(spark, sf_dir)
+    return rolling_median(h, ["event_type"], "bucket_ts", "lv", window=24).select(
+        "event_type", "bucket_ts", "lv", "n_w", "med"
+    )
+
+
+@_q(
+    "zipf_slope_docs",
+    r"""
+    WITH tok AS (SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+                 FROM documents),
+    freq AS (SELECT source, token, CAST(count(*) AS BIGINT) AS cnt
+             FROM tok GROUP BY 1, 2),
+    rk AS (SELECT source, cnt,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY cnt DESC, token ASC) AS rank
+           FROM freq),
+    xy AS (SELECT source,
+                  CAST(round(ln(rank) * 1000000, 0) AS BIGINT) AS x,
+                  CAST(round(ln(cnt) * 1000000, 0) AS BIGINT) AS y
+           FROM rk WHERE rank <= 1000),
+    mo AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                  CAST(sum(x * y) AS BIGINT) AS sxy,
+                  CAST(sum(x * x) AS BIGINT) AS sxx
+           FROM xy GROUP BY 1)
+    SELECT source, n_terms,
+           CAST(CAST(n_terms AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+                AS DOUBLE)
+           / CAST(CAST(n_terms AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+                  AS DOUBLE) AS slope
+    FROM mo WHERE n_terms >= 2
+    """,
+)
+def zipf_slope_docs(spark, sf_dir):
+    """Zipf rank-frequency slope per source (functions/text.zipf_slope):
+    quantized-log least-squares over the top-1000 token frequencies —
+    micro-int ln of INTEGER rank/freq (the lang_entropy discipline), BIGINT
+    moment sums, DECIMAL(38)/HUGEINT cross products, ONE double division.
+    Corpus-diversity diagnostic: boilerplate sources read steeper."""
+    from mtsad_spark.functions.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), "source", "text", top_k=1000)
+
+
+def _hampel_sql(n_sigmas: float = 3.0) -> str:
+    k = float(n_sigmas) * 1.4826  # shared literal: repr round-trips the double
+    return (
+        _HOURLY_LOAD_CTE
+        + f""",
+    hm AS (SELECT event_type, bucket_ts, lv,
+                  CAST(count(*) OVER w AS INT) AS n_w,
+                  CAST(median(lv) OVER w AS DOUBLE) AS med,
+                  CAST(mad(lv) OVER w AS DOUBLE) AS mad
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+    SELECT event_type, bucket_ts, lv, n_w, med, mad,
+           abs(lv - med) > {k!r} * mad AS is_outlier,
+           CASE WHEN mad > 0 THEN abs(lv - med) / (1.4826 * mad) END AS robust_z
+    FROM hm
+    """
+    )
+
+
+@_q("hampel_filter_1h", _hampel_sql())
+def hampel_filter_1h(spark, sf_dir):
+    """Hampel robust outlier filter over the hourly tier (operators/stats.
+    hampel_filter): sliding median + MAD — exact quarters from integer
+    cents, bitwise vs DuckDB's windowed median/mad — then ONE shared float
+    literal (3·1.4826) for the flag and one division for robust_z. The
+    robust twin of zscore_roll24_1h: a spike can't inflate its own
+    threshold."""
+    from mtsad_spark.operators.stats import hampel_filter
+
+    h = _hourly_load_df(spark, sf_dir)
+    return hampel_filter(h, ["event_type"], "bucket_ts", "lv", window=24).select(
+        "event_type", "bucket_ts", "lv", "n_w", "med", "mad", "is_outlier", "robust_z"
+    )
+
+
+def _bigram_pmi_sql(min_count: int = 5, top_k: int = 20) -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH pr AS (SELECT source, tokens[i] % 128 AS a, tokens[i + 1] % 128 AS b
+                FROM '{SEQFIX_PATH}',
+                     unnest(generate_series(1, len(tokens) - 1)) AS t(i)),
+    cab AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM pr GROUP BY 1, 2, 3),
+    ca AS (SELECT source, a, CAST(sum(c_ab) AS BIGINT) AS c_a FROM cab GROUP BY 1, 2),
+    cb AS (SELECT source, b, CAST(sum(c_ab) AS BIGINT) AS c_b FROM cab GROUP BY 1, 2),
+    tot AS (SELECT source, CAST(sum(c_ab) AS BIGINT) AS n FROM cab GROUP BY 1),
+    pm AS (SELECT cab.source, cab.a, cab.b, cab.c_ab,
+                  CAST(round(ln(c_ab) * 1000000, 0) AS BIGINT)
+                  + CAST(round(ln(n) * 1000000, 0) AS BIGINT)
+                  - CAST(round(ln(c_a) * 1000000, 0) AS BIGINT)
+                  - CAST(round(ln(c_b) * 1000000, 0) AS BIGINT) AS pmi_micro
+           FROM cab JOIN ca USING (source, a) JOIN cb USING (source, b)
+                    JOIN tot USING (source)
+           WHERE c_ab >= {min_count}),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY pmi_micro DESC, a ASC, b ASC) AS rank FROM pm)
+    SELECT source, a, b, c_ab, pmi_micro,
+           CAST(pmi_micro AS DOUBLE) / 1000000.0 AS pmi_nats,
+           CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= {top_k}
+    """
+
+
+@_q("bigram_pmi_top_seqfix", _bigram_pmi_sql())
+def bigram_pmi_top_seqfix(spark, sf_dir):
+    """Top-20 bigram collocations per source by quantized PMI
+    (functions/text.bigram_pmi): DIVISION-FREE ranking — pmi_micro is a
+    BIGINT sum/difference of micro-int lns of INTEGER counts, so the rank
+    and the values are exact in both engines; pmi_nats is one literal
+    division. min_count=5 prunes hapax pairs. Tokens are mapped to a
+    128-class alphabet (``t % 128``) first — over the raw 50k uniform
+    vocab no bigram repeats 5× at fixture scale (0-row query); class-level
+    collocation keeps every count frame dense at ANY sf."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.functions.text import bigram_pmi
+
+    seq = spark.read.parquet(ensure_seqfix()).select(
+        "source", F.expr("transform(tokens, t -> t % 128)").alias("tokens")
+    )
+    return bigram_pmi(seq, "source", "tokens", min_count=5, top_k=20)
+
+
+def _bigram_entropy_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH pr AS (SELECT source, tokens[i] AS a, tokens[i + 1] AS b
+                FROM '{SEQFIX_PATH}',
+                     unnest(generate_series(1, len(tokens) - 1)) AS t(i)),
+    cab AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c_ab
+            FROM pr GROUP BY 1, 2, 3),
+    ca AS (SELECT source, a, CAST(sum(c_ab) AS BIGINT) AS c_a
+           FROM cab GROUP BY 1, 2),
+    agg AS (SELECT cab.source,
+                   CAST(sum(c_ab) AS BIGINT) AS n_bigrams,
+                   CAST(count(DISTINCT cab.a) AS BIGINT) AS vocab_cur,
+                   CAST(sum(c_ab * (CAST(round(ln(c_a) * 1000000, 0) AS BIGINT)
+                                    - CAST(round(ln(c_ab) * 1000000, 0) AS BIGINT)))
+                        AS BIGINT) AS term
+            FROM cab JOIN ca USING (source, a) GROUP BY 1)
+    SELECT source, n_bigrams, vocab_cur,
+           CAST(term AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1000000.0)
+             AS cond_entropy_nats
+    FROM agg
+    """
+
+
+@_q("bigram_entropy_seqfix", _bigram_entropy_sql())
+def bigram_entropy_seqfix(spark, sf_dir):
+    """Conditional bigram entropy H(next|cur) per source over the
+    north-star tokenized sequences (functions/text.
+    bigram_conditional_entropy): quantized-log discipline — every ln is
+    taken on an INTEGER count, term sums are BIGINT, ONE final division —
+    so both engines agree bitwise. Near-uniform seqfix tokens read close
+    to ln(vocab); templated corpora would read near 0."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.functions.text import bigram_conditional_entropy
+
+    seq = spark.read.parquet(ensure_seqfix()).select("source", "tokens")
+    return bigram_conditional_entropy(seq, "source", "tokens")
+
+
+def _source_jaccard_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH g AS (SELECT DISTINCT source,
+                      CAST('0x' || substr(md5(array_to_string(tokens[i:i + 1], ',')),
+                                          1, 15) AS BIGINT) AS k
+               FROM '{SEQFIX_PATH}',
+                    unnest(generate_series(1, len(tokens) - 1)) AS t(i)),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY 1),
+    inter AS (SELECT a.source AS group_a, b.source AS group_b,
+                     CAST(count(*) AS BIGINT) AS n_inter
+              FROM g a JOIN g b ON a.k = b.k AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT group_a, group_b, sa.n_grams AS n_a, sb.n_grams AS n_b, n_inter,
+           CAST(n_inter AS DOUBLE)
+             / CAST(sa.n_grams + sb.n_grams - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.source = inter.group_a
+    JOIN sz sb ON sb.source = inter.group_b
+    """
+
+
+@_q("source_jaccard_seqfix", _source_jaccard_sql())
+def source_jaccard_seqfix(spark, sf_dir):
+    """Pairwise cross-source bigram Jaccard over the tokenized sequences
+    (operators/dedup.source_ngram_jaccard): the mixture-redundancy matrix —
+    distinct portable md5 2-gram keys per source, gram-keyed equi-self-join
+    (bucket-local, |sources|²-bounded pair rows), three BIGINTs + ONE
+    division. Orders the output for a stable driver hash."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.operators.dedup import source_ngram_jaccard
+
+    seq = spark.read.parquet(ensure_seqfix()).select("source", "tokens")
+    return source_ngram_jaccard(seq, "source", "tokens", n=2)
+
+
+@_q(
+    "percentile_rank_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    SELECT event_type, bucket_ts, lv,
+           cume_dist() OVER w AS cume_dist,
+           percent_rank() OVER w AS pct_rank
+    FROM hourly WINDOW w AS (PARTITION BY event_type ORDER BY lv)
+    """,
+)
+def percentile_rank_1h(spark, sf_dir):
+    """Empirical percentile rank of each hourly load within its
+    event_type's history — score normalization onto [0,1] (the rank-based
+    calibration step alternative to the percentile_threshold sweep).
+    cume_dist = peers_incl/total and percent_rank = (rank−1)/(n−1) are both
+    ONE division of exact integers with IDENTICAL tie semantics in Spark
+    and DuckDB — bitwise, no rounding. Window over tier points only."""
+    from pyspark.sql import Window
+
+    h = _hourly_load_df(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("lv")
+    return h.select(
+        "event_type",
+        "bucket_ts",
+        "lv",
+        F.cume_dist().over(w).alias("cume_dist"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@_q(
+    "tier_consistency_audit",
+    """
+    WITH m AS (SELECT event_type, date_trunc('minute', ts) AS b,
+                      CAST(count(*) AS BIGINT) AS cnt,
+                      CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1
+               FROM events GROUP BY 1, 2),
+    hc AS (SELECT event_type, date_trunc('hour', b) AS b,
+                  CAST(sum(cnt) AS BIGINT) AS cnt, CAST(sum(s1) AS BIGINT) AS s1
+           FROM m GROUP BY 1, 2),
+    hd AS (SELECT event_type, date_trunc('hour', ts) AS b,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1
+           FROM events GROUP BY 1, 2),
+    dc AS (SELECT event_type, date_trunc('day', b) AS b,
+                  CAST(sum(cnt) AS BIGINT) AS cnt, CAST(sum(s1) AS BIGINT) AS s1
+           FROM hd GROUP BY 1, 2),
+    dd AS (SELECT event_type, date_trunc('day', ts) AS b,
+                  CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS s1
+           FROM events GROUP BY 1, 2),
+    cmp_h AS (SELECT '1h' AS tier, count(*) AS n_points,
+                     CAST(sum(CASE WHEN hc.cnt IS DISTINCT FROM hd.cnt
+                                     OR hc.s1 IS DISTINCT FROM hd.s1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+              FROM hc FULL JOIN hd USING (event_type, b)),
+    cmp_d AS (SELECT '1d' AS tier, count(*) AS n_points,
+                     CAST(sum(CASE WHEN dc.cnt IS DISTINCT FROM dd.cnt
+                                     OR dc.s1 IS DISTINCT FROM dd.s1
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+              FROM dc FULL JOIN dd USING (event_type, b))
+    SELECT tier, CAST(n_points AS BIGINT) AS n_points, n_mismatch FROM cmp_h
+    UNION ALL
+    SELECT tier, CAST(n_points AS BIGINT) AS n_points, n_mismatch FROM cmp_d
+    """,
+)
+def tier_consistency_audit(spark, sf_dir):
+    """The north rule's 'exact rolled-up-point match at all retention
+    tiers' as a FIRST-CLASS audit query: re-aggregating the 1m tier to 1h
+    (and 1h to 1d) must match a direct rollup from raw rows point-for-point
+    — n_mismatch must be 0 at every tier, which holds BECAUSE the partials
+    are order-free LONG sums (operators/rollup.reaggregate). Emits
+    (tier, n_points, n_mismatch) so a scheduled run alerts on nonzero."""
+    from mtsad_spark.operators.rollup import reaggregate, rollup_partials
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100, 0).cast("long")
+    )
+    m = rollup_partials(ev, "ts", "cents", ["event_type"], "1m")
+    h_comp = reaggregate(m, ["event_type"], "1h")
+    h_dir = rollup_partials(ev, "ts", "cents", ["event_type"], "1h")
+    d_comp = reaggregate(h_dir, ["event_type"], "1d")
+    d_dir = rollup_partials(ev, "ts", "cents", ["event_type"], "1d")
+
+    def _cmp(tier, comp, dir_):
+        a = comp.select("event_type", "bucket_ts", "cnt", "s1")
+        b = dir_.select(
+            "event_type",
+            "bucket_ts",
+            F.col("cnt").alias("cnt_d"),
+            F.col("s1").alias("s1_d"),
+        )
+        j = a.join(b, ["event_type", "bucket_ts"], "full_outer")
+        mism = (
+            (~F.col("cnt").eqNullSafe(F.col("cnt_d")))
+            | (~F.col("s1").eqNullSafe(F.col("s1_d")))
+        ).cast("long")
+        return j.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(mism).alias("n_mismatch"),
+        ).select(F.lit(tier).alias("tier"), "n_points", "n_mismatch")
+
+    return _cmp("1h", h_comp, h_dir).unionByName(_cmp("1d", d_comp, d_dir))
+
+
 # =====================================================================
 # Registry ordering
 # =====================================================================
@@ -5407,6 +5738,14 @@ def _hourly_load_df(spark, sf_dir) -> DataFrame:
 _PRIORITY = [
     # (r6-a) newly-oracled / changed this round — never driver-checked in
     # this form
+    "rolling_median_24h_1h",
+    "hampel_filter_1h",
+    "zipf_slope_docs",
+    "bigram_entropy_seqfix",
+    "source_jaccard_seqfix",
+    "bigram_pmi_top_seqfix",
+    "percentile_rank_1h",
+    "tier_consistency_audit",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",

@@ -420,3 +420,202 @@ def vocab_growth(
         .withColumn("cum_types", F.sum("new_types").over(cum))
         .withColumnRenamed("grp", group_col)
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law log-log slope per group over whitespace token frequencies
+    — the classic rank-frequency diagnostic (slope ≈ −1 for natural text,
+    ≈ 0 for near-uniform token streams) LLM-data pipelines use to spot
+    template/boilerplate-dominated or synthetic sources. Beyond-reference
+    pipeline surface over the same whitespace tokenization as
+    :func:`vocab_growth` / the quality ops.
+
+    Exactness: x = L(rank), y = L(freq) with L = round(ln·10⁶) of INTEGER
+    inputs (the lang_entropy quantized-log discipline, engine-portable), so
+    the least-squares slope ``(m·Σxy − Σx·Σy) / (m·Σx² − (Σx)²)`` has
+    BIGINT moment sums; the two cross products are carried in DECIMAL(38,0)
+    (they exceed int64 at m = 1000) and the final slope is ONE double
+    division. Contract: ``top_k ≤ 10⁴`` keeps Σxy within int64 at any
+    corpus size (xy ≤ (28·10⁶)² ≈ 8·10¹⁴ per term).
+
+    Scale shape: ranks come from a row_number over the VOCAB-BOUNDED
+    (group, token) frequency frame (the token_heavy_hitters convention —
+    never raw rows), pruned to top_k before the moment aggregate; groups
+    with fewer than 2 kept terms are dropped (slope undefined).
+
+    Returns ``(group, n_terms, slope)``.
+    """
+    from pyspark.sql import Window
+
+    if not 1 < top_k <= 10_000:
+        raise ValueError(f"top_k must be in (1, 10000], got {top_k}")
+    tok = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")  # Spark split keeps boundary empties
+    freq = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("grp").orderBy(F.desc("cnt"), F.asc("token"))
+    lnq = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("long")
+    r = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            "grp",
+            lnq(F.col("rank")).alias("_x"),
+            lnq(F.col("cnt")).alias("_y"),
+        )
+    )
+    mo = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
+    num = dec("n_terms") * dec("_sxy") - dec("_sx") * dec("_sy")
+    den = dec("n_terms") * dec("_sxx") - dec("_sx") * dec("_sx")
+    return (
+        mo.filter(F.col("n_terms") >= 2)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_terms",
+            (num.cast("double") / den.cast("double")).alias("slope"),
+        )
+    )
+
+
+def bigram_conditional_entropy(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+) -> DataFrame:
+    """Conditional bigram entropy H(next | current) per group over
+    pre-tokenized sequences — the entropy-rate proxy that separates
+    repetitive/templated token streams (low H) from diverse ones, a
+    standard corpus-quality diagnostic next to :func:`zipf_slope` on the
+    north-star tokenized shape (BASELINE.json input_hint).
+
+    ``H = Σ_{ab} c_ab · (L(c_a) − L(c_ab)) / (10⁶ · N)`` with
+    L = round(ln·10⁶) of the INTEGER counts (the lang_entropy quantized-log
+    discipline: each ln is taken on an integer, never on a ratio, so the
+    term sums are BIGINT and engine-portable; the ONE division is final).
+    ``c_ab`` = bigram count, ``c_a = Σ_b c_ab`` = continuation total,
+    ``N = Σ c_ab``.
+
+    Scale shape: bigram pairs come from an ARRAY expression
+    (``arrays_zip`` of two slices — JVM-side, no Python) exploded once;
+    both count frames are map-side-combined groupBys bounded by observed
+    bigram vocabulary; docs shorter than 2 tokens contribute nothing.
+
+    Returns ``(group, n_bigrams, vocab_cur, cond_entropy_nats)``.
+    """
+    pair = F.expr(
+        f"CASE WHEN size({tokens_col}) >= 2 THEN "
+        f"arrays_zip(slice({tokens_col}, 1, size({tokens_col}) - 1), "
+        f"slice({tokens_col}, 2, size({tokens_col}) - 1)) "
+        f"ELSE array() END"
+    )
+    d = (
+        df.select(F.col(group_col).alias("grp"), F.explode(pair).alias("_p"))
+        .select("grp", F.col("_p")["0"].alias("_a"), F.col("_p")["1"].alias("_b"))
+    )
+    cab = d.groupBy("grp", "_a", "_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy("grp", "_a").agg(F.sum("c_ab").alias("c_a"))
+    lnq = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("long")
+    j = cab.join(ca, ["grp", "_a"])
+    agg = j.groupBy("grp").agg(
+        F.sum("c_ab").alias("n_bigrams"),
+        F.count_distinct("_a").alias("vocab_cur"),
+        F.sum(F.col("c_ab") * (lnq(F.col("c_a")) - lnq(F.col("c_ab")))).alias("_t"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_bigrams",
+        "vocab_cur",
+        (
+            F.col("_t").cast("double")
+            / (F.col("n_bigrams").cast("double") * F.lit(1000000.0))
+        ).alias("cond_entropy_nats"),
+    )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k token-bigram collocations per group by pointwise mutual
+    information — the classic collocation detector LLM-data pipelines use
+    to surface templated/boilerplate token pairs. DIVISION-FREE exactness:
+    ``pmi_micro = L(c_ab) + L(N) − L(c_a) − L(c_b)`` with L = round(ln·10⁶)
+    of the INTEGER counts (the lang_entropy quantized-log discipline), so
+    ranking happens on a BIGINT and both engines agree exactly;
+    ``pmi_nats = pmi_micro / 10⁶`` is one literal division.
+
+    ``c_a`` counts bigrams with first token a, ``c_b`` with second token b,
+    ``N`` bigrams in the group. ``min_count`` prunes hapax pairs BEFORE the
+    rank (PMI is maximized by singletons otherwise — standard practice).
+
+    Scale shape: pair explode is the same JVM arrays_zip as
+    :func:`bigram_conditional_entropy`; all count frames are map-side
+    combined and bigram-vocabulary-bounded; the only window is the top-k
+    row_number over the pruned PMI frame (the token_heavy_hitters
+    convention). Ties rank deterministically (pmi desc, a asc, b asc).
+
+    Returns ``(group, a, b, c_ab, pmi_micro, pmi_nats, rank)``.
+    """
+    from pyspark.sql import Window
+
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    pair = F.expr(
+        f"CASE WHEN size({tokens_col}) >= 2 THEN "
+        f"arrays_zip(slice({tokens_col}, 1, size({tokens_col}) - 1), "
+        f"slice({tokens_col}, 2, size({tokens_col}) - 1)) "
+        f"ELSE array() END"
+    )
+    d = (
+        df.select(F.col(group_col).alias("grp"), F.explode(pair).alias("_p"))
+        .select("grp", F.col("_p")["0"].alias("a"), F.col("_p")["1"].alias("b"))
+    )
+    cab = d.groupBy("grp", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = cab.groupBy("grp", "a").agg(F.sum("c_ab").alias("c_a"))
+    cb = cab.groupBy("grp", "b").agg(F.sum("c_ab").alias("c_b"))
+    tot = cab.groupBy("grp").agg(F.sum("c_ab").alias("_N"))
+    lnq = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("long")
+    j = (
+        cab.filter(F.col("c_ab") >= min_count)
+        .join(ca, ["grp", "a"])
+        .join(cb, ["grp", "b"])
+        .join(tot, "grp")
+        .withColumn(
+            "pmi_micro",
+            lnq(F.col("c_ab")) + lnq(F.col("_N")) - lnq(F.col("c_a")) - lnq(F.col("c_b")),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("pmi_micro"), F.asc("a"), F.asc("b")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("grp").alias(group_col),
+            "a",
+            "b",
+            "c_ab",
+            "pmi_micro",
+            (F.col("pmi_micro").cast("double") / F.lit(1000000.0)).alias("pmi_nats"),
+            "rank",
+        )
+    )

@@ -544,3 +544,65 @@ def repeated_spans(
         (F.max("pos") + F.lit(n - 1)).cast("int").alias("span_end"),
         F.count(F.lit(1)).alias("n_grams"),
     ).drop("_isl")
+
+
+def source_ngram_jaccard(
+    df: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity BETWEEN groups (sources) over
+    pre-tokenized sequences — the cross-source overlap/diversity matrix an
+    LLM-data pipeline reads before fixing mixture weights (two sources with
+    high n-gram Jaccard are near-redundant; the per-DOCUMENT near-dup ops
+    above answer a different question). Same portable md5 n-gram keys as
+    :func:`token_ngrams`.
+
+    Exact: ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)`` on DISTINCT-gram
+    counts — three BIGINTs, ONE final division.
+
+    Scale shape: the distinct (group, gram) frame is built by one map-side
+    combined distinct; the intersection is a gram-keyed equi-self-join
+    (bucket-local, never all-pairs over rows — each gram contributes at
+    most |groups|² pair rows, and |groups| is mixture-source cardinality,
+    not corpus size). The gram frame is consumed three times (sizes + both
+    join sides) → scoped_persist (the lineage-recompute rule).
+
+    Returns ``(group_a, group_b, n_a, n_b, n_inter, jaccard)`` for
+    ``group_a < group_b``.
+    """
+    from mtsad_spark.plans.scope import scoped_persist
+
+    grams = scoped_persist(
+        token_ngrams(
+            df.select(F.col(group_col).alias("_grp"), tokens_col),
+            "_grp",
+            tokens_col,
+            n,
+        )
+    )
+    sizes = grams.groupBy("_grp").agg(F.count(F.lit(1)).alias("n_grams"))
+    a = grams.select(F.col("_grp").alias("group_a"), "ngram_key")
+    b = grams.select(F.col("_grp").alias("group_b"), "ngram_key")
+    inter = (
+        a.join(b, "ngram_key")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("_grp", "group_a"), "group_a")
+        .withColumnRenamed("n_grams", "n_a")
+        .join(sizes.withColumnRenamed("_grp", "group_b"), "group_b")
+        .withColumnRenamed("n_grams", "n_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_inter",
+        (F.col("n_inter").cast("double") / union.cast("double")).alias("jaccard"),
+    )

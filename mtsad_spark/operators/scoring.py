@@ -368,9 +368,13 @@ def cusum_scores(
     with ``C`` the running sum of the deviations — so the whole detector is
     two window cumsums + two running mins, pure JVM whole-stage-codegen
     window algebra: NO Python kernel, no recursion, exact when ``x`` and
-    ``k`` are integers (cents). ``k`` is the slack/reference value
-    (defaults to the per-key mean, computed as an exact-integer fit frame);
-    optional ``h`` emits an ``alarm`` flag when either side exceeds it.
+    ``k`` are integers (cents). ``k`` is the slack/reference value; the
+    default is the per-key mean — computed as ``sum div count`` (exact
+    BIGINT floor-mean) when ``val_col`` is integer-typed, so the default
+    path keeps the exact-integer contract (code-review r6: ``F.avg`` made
+    ``_k`` a double and voided it); for float inputs the default falls back
+    to ``F.avg`` and the outputs are float window sums. Optional ``h``
+    emits an ``alarm`` flag when either side exceeds it.
 
     Scale shape: per-key windows over ROLLUP tier points (the post-rollup
     scorer contract shared with counter_rate/sliding_zscore — never raw
@@ -382,7 +386,15 @@ def cusum_scores(
 
     d = df
     if k is None:
-        fit = df.groupBy(*keys).agg(F.avg(val_col).alias("_k"))
+        dtype = dict(df.dtypes)[val_col]
+        if dtype in ("tinyint", "smallint", "int", "bigint"):
+            # exact BIGINT floor-mean: keeps cusum_up/dn pure integer algebra
+            mean_expr = F.expr(
+                f"sum(cast(`{val_col}` as bigint)) div count(`{val_col}`)"
+            ).alias("_k")
+        else:
+            mean_expr = F.avg(val_col).alias("_k")
+        fit = df.groupBy(*keys).agg(mean_expr)
         d = fit_join(df, fit, keys, "inner")
         k_col = F.col("_k")
     else:

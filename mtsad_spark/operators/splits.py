@@ -237,13 +237,26 @@ def mixture_quotas(
         w = F.col("tot_tok")
     wf = tot.withColumn("weight", w.cast("long"))
     tw = wf.crossJoin(
-        wf.agg(F.sum("weight").cast("long").alias("_W"))
+        wf.agg(
+            F.sum("weight").cast("long").alias("_W"),
+            F.count(F.lit(1)).alias("_n"),
+        )
     ).withColumn("_B", F.lit(int(budget)).cast("long"))
+    # all-zero-weight corpus (every source's tot_tok = 0): Hamilton over the
+    # true weights is a division by _W = 0 that would NULL-propagate into
+    # silent empty samples (code-review r6). Fall back to EQUAL weights so
+    # quotas come out 0 (capped at tot_tok = 0) and the entire budget
+    # surfaces in-band as `unmet` — deterministic, Σunmet = budget.
+    tw = tw.withColumn(
+        "_w_eff", F.when(F.col("_W") == 0, F.lit(1)).otherwise(F.col("weight"))
+    ).withColumn(
+        "_W", F.when(F.col("_W") == 0, F.col("_n")).otherwise(F.col("_W"))
+    )
     ap = tw.withColumn(
-        "base", F.expr("(CAST(_B AS DECIMAL(38,0)) * weight) div _W")
+        "base", F.expr("(CAST(_B AS DECIMAL(38,0)) * _w_eff) div _W")
     ).withColumn(
         "rem",
-        F.expr("CAST((CAST(_B AS DECIMAL(38,0)) * weight) % _W AS BIGINT)"),
+        F.expr("CAST((CAST(_B AS DECIMAL(38,0)) * _w_eff) % _W AS BIGINT)"),
     )
     lo = ap.crossJoin(ap.agg(F.sum("base").cast("long").alias("_SB"))).withColumn(
         "_rk",

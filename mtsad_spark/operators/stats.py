@@ -708,3 +708,115 @@ def trimmed_means(
             / (F.col("n_obs").cast("double") * F.lit(float(scale)))
         ).alias("winsor_mean"),
     )
+
+
+def rolling_median(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    window: int = 24,
+    out_col: str = "med",
+) -> DataFrame:
+    """Exact sliding-window median over tier points — the ROBUST rolling
+    baseline next to :func:`moving_average_same` (re-expresses the detrend
+    role of the reference's moving-average residual path,
+    /root/reference/prediction/lstm_mts.py:192-230, with a median filter
+    that a single spike cannot drag; the reference has no robust variant).
+
+    ``collect_list`` over a bounded rows-frame (``window`` points), sorted
+    JVM-side, exact middle: odd count → the element, even → ``(a + b) / 2``
+    — ONE float division of exact integers when ``val_col`` is integer
+    cents, so the result is engine-exact (integers and .5 halves are
+    representable; DuckDB's windowed ``median`` computes the same value).
+    Warm-up rows (fewer than ``window`` points yet) use the shorter prefix
+    frame; ``n_w`` reports the frame size.
+
+    Scale shape: per-key rows-frame over ROLLUP tier points only (the
+    post-rollup scorer contract — never raw rows); the transient array is
+    bounded by ``window`` (24 longs), so memory per row is O(window), and
+    no Python kernel is involved."""
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(-(window - 1), 0)
+    d = df.withColumn(
+        "_arr", F.sort_array(F.collect_list(F.col(val_col).cast("long")).over(w))
+    ).withColumn("n_w", F.size("_arr"))
+    mid_hi = (F.col("n_w") / 2 + 1).cast("int")  # 1-based upper-middle
+    mid_lo = (F.col("n_w") / 2).cast("int")
+    odd = F.element_at("_arr", F.expr("int((n_w + 1) div 2)")).cast("double")
+    even = (
+        F.element_at("_arr", mid_lo) + F.element_at("_arr", mid_hi)
+    ).cast("double") / F.lit(2.0)
+    return d.withColumn(
+        out_col, F.when(F.col("n_w") % 2 == 1, odd).otherwise(even)
+    ).drop("_arr")
+
+
+def hampel_filter(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    val_col: str,
+    window: int = 24,
+    n_sigmas: float = 3.0,
+) -> DataFrame:
+    """Hampel identifier over tier points — the ROBUST outlier detector
+    (flag when ``|x − med| > n_sigmas · 1.4826 · MAD`` over a sliding
+    frame), the median/MAD counterpart of sliding z-score W9
+    (operators/scoring.sliding_zscore re-expresses the reference's
+    mean/σ residual rule, /root/reference/prediction/lstm_mts.py:531-545;
+    a single extreme point inflates σ and masks itself — the Hampel
+    filter's breakdown point is 50%).
+
+    Exactness: the sorted window array gives the exact median (ints and .5
+    halves); deviations ``|x − med|`` are exact halves; their median (MAD)
+    is an exact quarter — all representable doubles, bitwise equal to
+    DuckDB's windowed ``median``/``mad``. The flag comparison and
+    ``robust_z = (x − med) / (1.4826 · MAD)`` each involve one float
+    multiply/divide in a FIXED association both engines replay; robust_z
+    is NULL when MAD = 0 (constant window).
+
+    Scale shape: identical to :func:`rolling_median` — one per-key rows
+    frame over ROLLUP tier points, O(window) transient arrays, no Python.
+    """
+    from pyspark.sql import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    w = Window.partitionBy(*keys).orderBy(ts_col).rowsBetween(-(window - 1), 0)
+    d = df.withColumn(
+        "_arr", F.sort_array(F.collect_list(F.col(val_col).cast("long")).over(w))
+    ).withColumn("n_w", F.size("_arr"))
+
+    def _mid(arr_col: str) -> "F.Column":
+        odd = F.element_at(arr_col, F.expr("int((n_w + 1) div 2)")).cast("double")
+        even = (
+            F.element_at(arr_col, (F.col("n_w") / 2).cast("int")).cast("double")
+            + F.element_at(arr_col, (F.col("n_w") / 2 + 1).cast("int")).cast(
+                "double"
+            )
+        ) / F.lit(2.0)
+        return F.when(F.col("n_w") % 2 == 1, odd).otherwise(even)
+
+    d = d.withColumn("med", _mid("_arr"))
+    d = d.withColumn(
+        "_dev",
+        F.array_sort(
+            F.transform("_arr", lambda x: F.abs(x.cast("double") - F.col("med")))
+        ),
+    ).withColumn("mad", _mid("_dev"))
+    thr = F.lit(float(n_sigmas) * 1.4826) * F.col("mad")
+    dev = F.abs(F.col(val_col).cast("double") - F.col("med"))
+    return (
+        d.withColumn("is_outlier", dev > thr)
+        .withColumn(
+            "robust_z",
+            F.when(
+                F.col("mad") > 0, dev / (F.lit(1.4826) * F.col("mad"))
+            ),
+        )
+        .drop("_arr", "_dev")
+    )

@@ -40,10 +40,15 @@ from pyspark.sql import DataFrame
 
 log = logging.getLogger(__name__)
 
-# SparkSession (weak key) -> list of persisted frames awaiting release.
-# Weak keys: a session that is stopped and dropped by the caller must not be
-# kept alive (nor its JVM handles) just because an operator once persisted
-# under it.
+# SparkSession (weak key) -> list of persisted JVM Dataset handles awaiting
+# release. Weak keys: a session that is stopped and dropped by the caller must
+# not be kept alive just because an operator once persisted under it. The
+# VALUES are the py4j ``df._jdf`` handles, NOT the Python DataFrames: a
+# DataFrame strongly references its own SparkSession (``df._session``), so
+# DataFrame values would make every key reachable from its value and the
+# WeakKeyDictionary could never evict anything (code-review r6; per the
+# weakref docs, values that refer to keys prevent key collection). A
+# JavaObject holds only a gateway-client + target id — no Python session ref.
 _LIVE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
@@ -54,7 +59,7 @@ def _session_of(df: DataFrame):
 def scoped_persist(df: DataFrame, level=None) -> DataFrame:
     """persist() + register for release at the next query boundary."""
     df = df.persist() if level is None else df.persist(level)
-    _LIVE.setdefault(_session_of(df), []).append(df)
+    _LIVE.setdefault(_session_of(df), []).append(df._jdf)
     return df
 
 
@@ -62,7 +67,7 @@ def register_scoped(df: DataFrame) -> DataFrame:
     """Register an ALREADY-persisted frame for release at the next boundary
     (for operators that manage persist/unpersist internally but return a
     persisted result, e.g. dup_groups' final label frame)."""
-    _LIVE.setdefault(_session_of(df), []).append(df)
+    _LIVE.setdefault(_session_of(df), []).append(df._jdf)
     return df
 
 
@@ -73,11 +78,11 @@ def release_scoped(session=None) -> int:
     sessions = [session] if session is not None else list(_LIVE.keys())
     n = 0
     for s in sessions:
-        frames = _LIVE.pop(s, [])
-        for df in frames:
+        jdfs = _LIVE.pop(s, [])
+        for jdf in jdfs:
             n += 1
             try:
-                df.unpersist()
+                jdf.unpersist(False)
             except Exception as e:  # noqa: BLE001 — release must not raise
                 # expected only when the owning session/context is already
                 # stopped; anything else is logged, not swallowed silently

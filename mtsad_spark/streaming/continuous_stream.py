@@ -112,6 +112,7 @@ class StreamingContinuousAggregate:
 
 
 BATCH_ID_PROP = "mtsad.batch-id"
+CHECKPOINT_PROP = "mtsad.checkpoint"
 
 
 class IcebergTierIO:
@@ -125,9 +126,13 @@ class IcebergTierIO:
       batch id in ONE snapshot: Iceberg's writer propagates
       ``option("snapshot-property.<k>", v)`` into the snapshot summary of
       that same commit (public Iceberg spark-writes surface).
-    * ``last_batch_id`` reads the newest snapshot's summary back from the
-      ``<table>.snapshots`` metadata table — a manifest read, never a data
-      scan.
+    * ``last_applied`` reads the newest snapshot THAT CARRIES the sink's
+      properties back from the ``<table>.snapshots`` metadata table — a
+      manifest read, never a data scan. Filtering on the property (rather
+      than taking the newest snapshot unconditionally) keeps the replay
+      guard intact across table-maintenance commits (expire_snapshots,
+      rewrite_data_files, retention deletes) whose snapshots carry no
+      batch id (code-review r6).
     """
 
     def __init__(self, spark: SparkSession, table_prefix: str):
@@ -143,25 +148,34 @@ class IcebergTierIO:
     def read(self, tier: str) -> DataFrame:
         return self.spark.read.table(self.table(tier))
 
-    def overwrite_partitions(self, df: DataFrame, tier: str, batch_id: int) -> None:
-        w = df.writeTo(self.table(tier)).option(
-            f"snapshot-property.{BATCH_ID_PROP}", str(batch_id)
+    def overwrite_partitions(
+        self, df: DataFrame, tier: str, batch_id: int, checkpoint: str
+    ) -> None:
+        w = (
+            df.writeTo(self.table(tier))
+            .option(f"snapshot-property.{BATCH_ID_PROP}", str(batch_id))
+            .option(f"snapshot-property.{CHECKPOINT_PROP}", checkpoint)
         )
         if self.exists(tier):
             w.overwritePartitions()  # dynamic: only _day values present in df
         else:
             w.partitionedBy(F.col("_day")).create()
 
-    def last_batch_id(self, tier: str) -> int | None:
+    def last_applied(self, tier: str) -> tuple[int, str] | None:
+        """(batch_id, checkpoint) of the newest SINK commit, skipping
+        snapshots without the batch-id property (maintenance commits)."""
         if not self.exists(tier):
             return None
         rows = self.spark.sql(
-            f"SELECT summary['{BATCH_ID_PROP}'] AS bid FROM "
-            f"{self.table(tier)}.snapshots ORDER BY committed_at DESC LIMIT 1"
+            f"SELECT summary['{BATCH_ID_PROP}'] AS bid, "
+            f"summary['{CHECKPOINT_PROP}'] AS ckpt FROM "
+            f"{self.table(tier)}.snapshots "
+            f"WHERE summary['{BATCH_ID_PROP}'] IS NOT NULL "
+            f"ORDER BY committed_at DESC LIMIT 1"
         ).collect()
-        if not rows or rows[0].bid is None:
+        if not rows:
             return None
-        return int(rows[0].bid)
+        return int(rows[0].bid), rows[0].ckpt or ""
 
 
 class IcebergStreamingContinuousAggregate:
@@ -188,12 +202,14 @@ class IcebergStreamingContinuousAggregate:
         ts_col: str,
         val_col: str,
         exact_int: bool = True,
+        checkpoint: str = "default",
     ):
         self.io = io
         self.keys = keys
         self.ts_col = ts_col
         self.val_col = val_col
         self.exact_int = exact_int
+        self.checkpoint = checkpoint
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from mtsad_spark.operators.rollup import (
@@ -213,9 +229,22 @@ class IcebergStreamingContinuousAggregate:
         new["1h"] = reaggregate(new["1m"], self.keys, "1h")
         new["1d"] = reaggregate(new["1h"], self.keys, "1d")
         for tier in TIER_ORDER:
-            last = self.io.last_batch_id(tier)
-            if last is not None and batch_id <= last:
-                continue  # this tier's snapshot already carries the batch
+            applied = self.io.last_applied(tier)
+            if applied is not None:
+                last, ckpt = applied
+                if ckpt != self.checkpoint:
+                    # fresh checkpoint (batch ids restart at 0) pointed at a
+                    # table fed by a different stream: batch-id dedup would
+                    # silently skip every real batch — refuse loudly, same
+                    # contract as the parquet ledger (code-review r6)
+                    raise ValueError(
+                        f"tier table {self.io.table(tier)!r} was fed by "
+                        f"checkpoint {ckpt!r}; refusing batch-id dedup "
+                        f"against checkpoint {self.checkpoint!r} — rebuild "
+                        "the table or resume the original checkpoint"
+                    )
+                if batch_id <= last:
+                    continue  # this tier's snapshot already carries the batch
             n = new[tier].persist()
             try:
                 days = [
@@ -235,11 +264,13 @@ class IcebergStreamingContinuousAggregate:
                     merged.withColumn("_day", F.to_date("bucket_ts")),
                     tier,
                     batch_id,
+                    self.checkpoint,
                 )
             finally:
                 n.unpersist()
 
     def start(self, stream: DataFrame, checkpoint: str) -> StreamingQuery:
+        self.checkpoint = checkpoint
         return (
             stream.writeStream.foreachBatch(self)
             .option("checkpointLocation", checkpoint)

@@ -588,3 +588,22 @@ def test_mixture_token_sample_vs_python_oracle(spark):
         df.repartition(13), "source", "doc_id", "n_tok", budget
     ).toPandas()
     assert sorted(sel2.doc_id) == sorted(sel.doc_id)
+
+
+def test_mixture_quotas_zero_total_weight_surfaces_unmet(spark):
+    """code-review r6: a corpus where every source has zero tokens made
+    _W = 0 NULL-propagate through the DECIMAL div/% into silent NULL quotas
+    (and an empty sample with no signal). The guard falls back to equal
+    weights: quotas 0 (capped at tot_tok = 0), Σunmet = budget, in-band."""
+    from mtsad_spark.operators.splits import mixture_quotas, mixture_token_sample
+
+    rows = [("a", "a-0", 0), ("a", "a-1", 0), ("b", "b-0", 0), ("c", "c-0", 0)]
+    df = spark.createDataFrame(rows, "source string, doc_id string, n_tok int")
+    for sqrt_w in (True, False):
+        got = mixture_quotas(df, "source", "n_tok", 100, sqrt_w).toPandas()
+        assert got.quota.notna().all() and got.unmet.notna().all()
+        assert (got.quota == 0).all()
+        assert got.unmet.sum() == 100, "the whole budget must surface in-band"
+    sel = mixture_token_sample(df, "source", "doc_id", "n_tok", 100).toPandas()
+    # zero-token docs fit any quota (cum 0 <= 0) — present, contributing 0
+    assert sel.cum_tok.notna().all() and (sel.cum_tok == 0).all()

@@ -747,3 +747,198 @@ def test_vocab_growth_vs_python(spark):
 
     with _pt.raises(ValueError):
         vocab_growth(df, "source", "doc_id", "text", 0)
+
+
+def test_zipf_slope_vs_numpy(spark):
+    """Quantized-log least-squares slope must equal an independent numpy
+    replay (same micro-int L), and a Zipfy synthetic corpus must come out
+    clearly steeper than a uniform one. Margin to the micro-int rounding
+    boundary is asserted so the cross-engine round can't flip."""
+    import math
+
+    import numpy as np
+
+    from mtsad_spark.functions.text import zipf_slope
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(300)]
+    # zipfy: P(rank r) ~ 1/r ; uniform: equal
+    zp = 1.0 / np.arange(1, 301)
+    zp /= zp.sum()
+    rows = []
+    for _ in range(400):
+        zw = rng.choice(words, size=50, p=zp)
+        uw = rng.choice(words, size=50)
+        rows.append(("zipfy", " ".join(zw)))
+        rows.append(("uniform", " ".join(uw)))
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = zipf_slope(df, "source", "text", top_k=200).toPandas().set_index("source")
+
+    def py_slope(texts, k):
+        from collections import Counter
+
+        c = Counter(t for s in texts for t in s.split() if t)
+        top = sorted(c.items(), key=lambda x: (-x[1], x[0]))[:k]
+        L = lambda v: round(math.log(v) * 1e6)
+        xs = [L(r + 1) for r in range(len(top))]
+        ys = [L(cnt) for _, cnt in top]
+        # margin: no 1e6*ln value may sit near a .5 rounding boundary
+        for v in {r + 1 for r in range(len(top))} | {cnt for _, cnt in top}:
+            frac = abs((math.log(v) * 1e6) % 1 - 0.5)
+            assert frac > 1e-4, f"rounding-boundary margin too small for {v}"
+        m = len(xs)
+        num = m * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = m * sum(x * x for x in xs) - sum(xs) ** 2
+        # match the engines' float association: DECIMAL→double casts on
+        # num and den SEPARATELY, then one double division (int/int in
+        # python is single-rounded and can differ by 1 ulp)
+        return m, float(num) / float(den)
+
+    for src in ("zipfy", "uniform"):
+        texts = [t for s, t in rows if s == src]
+        m, sl = py_slope(texts, 200)
+        assert got.loc[src, "n_terms"] == m
+        assert got.loc[src, "slope"] == sl, src
+    assert got.loc["zipfy", "slope"] < got.loc["uniform", "slope"] - 0.3
+
+
+def test_bigram_conditional_entropy_vs_python(spark):
+    """H(next|cur) must equal the quantized-log python replay; a repetitive
+    stream must score (near) zero and a diverse one strictly higher."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from mtsad_spark.functions.text import bigram_conditional_entropy
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(50):
+        rows.append(("loopy", [1, 2, 3, 4] * 10))  # fully deterministic chain
+        rows.append(("mixed", [int(x) for x in rng.integers(0, 30, size=40)]))
+    rows.append(("tiny", [7]))  # shorter than a bigram: contributes nothing
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    got = (
+        bigram_conditional_entropy(df, "source", "tokens")
+        .toPandas()
+        .set_index("source")
+    )
+    assert "tiny" not in got.index
+
+    def py_h(seqs):
+        cab = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                cab[(a, b)] += 1
+        ca = Counter()
+        for (a, _), c in cab.items():
+            ca[a] += c
+        N = sum(cab.values())
+        L = lambda v: round(math.log(v) * 1e6)
+        t = sum(c * (L(ca[a]) - L(c)) for (a, _), c in cab.items())
+        return N, len(ca), t / (N * 1e6)
+
+    for src in ("loopy", "mixed"):
+        seqs = [t for s, t in rows if s == src]
+        n, vc, h = py_h(seqs)
+        assert got.loc[src, "n_bigrams"] == n
+        assert got.loc[src, "vocab_cur"] == vc
+        assert got.loc[src, "cond_entropy_nats"] == h, src
+    assert got.loc["loopy", "cond_entropy_nats"] == 0.0
+    assert got.loc["mixed", "cond_entropy_nats"] > 1.0
+
+
+def test_source_ngram_jaccard_vs_python_sets(spark):
+    """Pairwise distinct-gram Jaccard must equal python set algebra, for
+    overlapping and disjoint sources, emitting each unordered pair once."""
+    from mtsad_spark.operators.dedup import source_ngram_jaccard
+
+    seqs = {
+        "a": [[1, 2, 3, 4], [2, 3, 4, 5]],
+        "b": [[2, 3, 4], [9, 9, 9]],
+        "c": [[100, 200], [300]],  # [300] too short for a bigram
+    }
+    rows = [(s, toks) for s, lst in seqs.items() for toks in lst]
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    got = {
+        (r.group_a, r.group_b): r
+        for r in source_ngram_jaccard(df, "source", "tokens", n=2).collect()
+    }
+
+    def py_grams(lst):
+        return {
+            tuple(s[i : i + 2]) for s in lst for i in range(len(s) - 1)
+        }
+
+    g = {k: py_grams(v) for k, v in seqs.items()}
+    import itertools
+
+    for x, y in itertools.combinations(sorted(seqs), 2):
+        inter = len(g[x] & g[y])
+        if inter == 0:
+            assert (x, y) not in got  # no shared grams -> no row (inner join)
+            continue
+        r = got[(x, y)]
+        assert r.n_a == len(g[x]) and r.n_b == len(g[y]) and r.n_inter == inter
+        assert r.jaccard == inter / len(g[x] | g[y])
+    assert ("a", "b") in got and got[("a", "b")].n_inter == 2
+
+
+def test_bigram_pmi_vs_python(spark):
+    """Division-free quantized PMI: pmi_micro must equal the python replay,
+    a planted collocation must rank first, and min_count must prune hapax
+    pairs that would otherwise dominate."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from mtsad_spark.functions.text import bigram_pmi
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for _ in range(200):
+        toks = [int(x) for x in rng.integers(0, 40, size=30)]
+        # plant the collocation (7 -> 8) at two fixed positions
+        toks[4:6] = [7, 8]
+        toks[20:22] = [7, 8]
+        rows.append(("s", toks))
+        rows.append(("t", [1, 2] * 15))
+    df = spark.createDataFrame(rows, "source string, tokens array<int>")
+    got = (
+        bigram_pmi(df, "source", "tokens", min_count=5, top_k=10)
+        .toPandas()
+        .sort_values(["source", "rank"])
+    )
+
+    def py_pmi(seqs):
+        cab = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                cab[(a, b)] += 1
+        ca, cb = Counter(), Counter()
+        for (a, b), c in cab.items():
+            ca[a] += c
+            cb[b] += c
+        N = sum(cab.values())
+        L = lambda v: round(math.log(v) * 1e6)
+        out = {
+            (a, b): L(c) + L(N) - L(ca[a]) - L(cb[b])
+            for (a, b), c in cab.items()
+            if c >= 5
+        }
+        return cab, out
+
+    s_rows = got[got.source == "s"]
+    cab, pmi = py_pmi([t for src, t in rows if src == "s"])
+    want = sorted(pmi.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert list(zip(s_rows.a, s_rows.b)) == [k for k, _ in want]
+    assert list(s_rows.pmi_micro) == [v for _, v in want]
+    assert (s_rows.iloc[0].a, s_rows.iloc[0].b) == (7, 8), "planted collocation first"
+    assert (s_rows.c_ab >= 5).all()
+    for r in s_rows.itertuples():
+        assert r.pmi_nats == r.pmi_micro / 1e6
+    # the deterministic alternation: both (1,2) and (2,1) are certain pairs
+    t_rows = got[got.source == "t"]
+    assert set(zip(t_rows.a, t_rows.b)) == {(1, 2), (2, 1)}

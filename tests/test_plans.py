@@ -377,6 +377,45 @@ def test_scoped_persists_are_session_isolated(spark, events):
     assert not a.storageLevel.useMemory and not _LIVE
 
 
+def test_scope_registry_values_do_not_pin_their_session(spark):
+    """code-review r6: _LIVE is weak-KEYED by session, but a DataFrame value
+    strongly references its own session (df._session) — storing DataFrames
+    would make every key reachable from its value and nothing could ever
+    evict. The registry must store only the JVM dataset handles."""
+    import gc
+    import weakref
+
+    from mtsad_spark.plans.scope import _LIVE, release_scoped, scoped_persist
+
+    release_scoped()
+    s2 = spark.newSession()
+    df = scoped_persist(s2.range(10).filter("id > 1"))
+    df.count()
+    assert len(_LIVE) == 1
+    # the stored values must not reference the Python session object
+    # (py4j JavaObjects proxy every attribute name, so isinstance, not hasattr)
+    from pyspark.sql import DataFrame as _PyDF
+
+    for vals in _LIVE.values():
+        for v in vals:
+            assert not isinstance(v, _PyDF), "registry holds DataFrames"
+    wr = weakref.ref(s2)
+    del df, s2
+    # pyspark globally pins the LAST-constructed session: SparkSession.__init__
+    # monkey-patches RDD.toDF with a closure over it (and may hold class-level
+    # slots). Displace both pins — they are pyspark's, not the registry's —
+    # so the only remaining question is whether _LIVE pins s2.
+    from pyspark.sql import SparkSession
+
+    _displacer = spark.newSession()  # re-points the RDD.toDF closure cell
+    for attr in ("_activeSession", "_instantiatedSession"):
+        if getattr(SparkSession, attr, None) is not None:
+            setattr(SparkSession, attr, spark)
+    gc.collect()
+    assert wr() is None, "scope registry (or harness) still pins the session"
+    assert len(_LIVE) == 0, "weak key failed to evict after session collection"
+
+
 def test_contamination_and_sampler_plans_are_scale_clean(spark):
     """r5 additions under the same static-plan bans: the n-gram contamination
     join must be a bucket-local equi-join (no cartesian/nested-loop, no

@@ -377,6 +377,55 @@ def test_lttb_passthrough_and_validation(spark):
         lttb_downsample(df, ["key"], "ts", "v", 2)
 
 
+def test_lttb_oracle_sql_covers_short_keys(spark, tmp_path):
+    """code-review r6: the DuckDB oracle's bucket-CTE machinery inner-joined
+    away any key with n <= n_out (zero-width ranges emptied a{i}) — the
+    testdata never exposes it, but a sparse event_type would red-flag the
+    driver. Cross-engine check on a fixture with BOTH a long and a short
+    key, the short one taking the passthrough branch."""
+    import datetime as dt
+
+    import duckdb
+
+    from mtsad_spark import driver_queries as dq
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for i in range(40):  # long key: 40 hourly buckets > n_out=12
+        rows.append(("long", 9000 + i, t0 + dt.timedelta(hours=i, minutes=i % 3), float((i * 37) % 100)))
+    for i in range(8):  # short key: 8 buckets <= 12 -> passthrough
+        rows.append(("short", 100 + i, t0 + dt.timedelta(hours=i), float(i * 2.5)))
+    ev = spark.createDataFrame(
+        rows, "event_type string, event_id long, ts timestamp, value double"
+    )
+    ev.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    out = (
+        dq.queries()["lttb_downsample_1h"](spark, str(tmp_path))
+        .toPandas()
+        .sort_values(["event_type", "sel_pos"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"'{tmp_path}/events.parquet/*.parquet'"  # spark writes a directory
+    )
+    want = (
+        con.sql(dq.oracle_sql()["lttb_downsample_1h"])
+        .df()
+        .sort_values(["event_type", "sel_pos"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want) == 12 + 8
+    assert list(out.event_type) == list(want.event_type)
+    assert list(out.load) == list(want.load)
+    assert list(out.sel_pos) == list(want.sel_pos)
+    assert [str(x) for x in out.bucket_ts] == [str(x) for x in want.bucket_ts]
+    short = out[out.event_type == "short"]
+    assert len(short) == 8 and list(short.sel_pos) == list(range(8))
+
+
 def test_sliding_distinct_window_bounds_and_exact_counts(spark):
     """n_rows_window / n_active_buckets must be exact, the unioned
     estimate within 5% of the true windowed distinct count, and

@@ -399,6 +399,25 @@ def test_cusum_default_k_is_per_key_mean(spark):
     assert list(b.cusum_up) == [0, 50] and list(b.cusum_dn) == [50, 0]
 
 
+def test_cusum_default_k_keeps_integer_algebra(spark):
+    """code-review r6: the default k must be the exact BIGINT floor-mean
+    (sum div count) for integer inputs, not F.avg — a double k voids the
+    function's own exact-when-integers contract on its default path."""
+    from mtsad_spark.operators.scoring import cusum_scores
+
+    df = spark.createDataFrame(
+        [("c", 0, 1), ("c", 1, 2)], "key string, t int, x long"
+    )
+    got = cusum_scores(df, ["key"], "t", "x")
+    types = dict(got.dtypes)
+    assert types["cusum_up"] == "bigint" and types["cusum_dn"] == "bigint", (
+        "default-k path must stay integer algebra, got %s" % types
+    )
+    pdf = got.toPandas().sort_values("t")
+    # k = 3 div 2 = 1 → dev +: 0,1 → up 0,1 ; dev -: 0,-1 → dn 0,0
+    assert list(pdf.cusum_up) == [0, 1] and list(pdf.cusum_dn) == [0, 0]
+
+
 def test_time_weighted_avg_vs_numpy_trapezoid(spark):
     """Irregular spacing: twa must weigh values by hold time (trapezoid),
     diverging from the plain mean; numerator/denominator exact BIGINTs."""

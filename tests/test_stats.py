@@ -469,3 +469,79 @@ def test_trimmed_means_vs_python(spark):
             assert r.trimmed_mean == exp_tr and r.winsor_mean == exp_wz
     with _pt.raises(ValueError):
         trimmed_means(df, ["k"], "v", 0.5, "i")
+
+
+def test_rolling_median_vs_pandas(spark):
+    """Exact sliding median (W-family robust baseline): must equal pandas
+    .rolling(w, min_periods=1).median() on integer cents — including the
+    warm-up prefix and even/odd frame sizes."""
+    import datetime as dt
+
+    import numpy as np
+    import pandas as pd
+
+    from mtsad_spark.operators.stats import rolling_median
+
+    rng = np.random.default_rng(17)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for key, n in (("a", 60), ("b", 7), ("c", 1)):
+        v = rng.integers(-500, 500, size=n)
+        rows += [(key, t0 + dt.timedelta(hours=i), int(v[i])) for i in range(n)]
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    got = (
+        rolling_median(df, ["key"], "ts", "v", window=24)
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(rows, columns=["key", "ts", "v"]).sort_values(["key", "ts"])
+    want = (
+        pdf.groupby("key")["v"].rolling(24, min_periods=1).median().reset_index(drop=True)
+    )
+    assert np.array_equal(got["med"].to_numpy(), want.to_numpy())
+    nw = pdf.groupby("key")["v"].rolling(24, min_periods=1).count().reset_index(drop=True)
+    assert np.array_equal(got["n_w"].to_numpy(), nw.to_numpy().astype(int))
+    with pytest.raises(ValueError):
+        rolling_median(df, ["key"], "ts", "v", window=0)
+
+
+def test_hampel_filter_vs_python(spark):
+    """Hampel identifier: med/MAD must equal a python sliding replay, the
+    planted spike must flag (while the plain mean/σ z-score is dragged),
+    and robust_z must be NULL on constant windows."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mtsad_spark.operators.stats import hampel_filter
+
+    t0 = dt.datetime(2024, 1, 1)
+    base = [100, 102, 98, 101, 99, 103, 97, 100, 5000, 101, 99, 102]
+    rows = [("a", t0 + dt.timedelta(hours=i), v) for i, v in enumerate(base)]
+    rows += [("c", t0 + dt.timedelta(hours=i), 42) for i in range(5)]  # constant
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    got = (
+        hampel_filter(df, ["key"], "ts", "v", window=5, n_sigmas=3.0)
+        .toPandas()
+        .sort_values(["key", "ts"])
+        .reset_index(drop=True)
+    )
+
+    def py_med(xs):
+        s = sorted(xs)
+        m = len(s)
+        return float(s[(m - 1) // 2]) if m % 2 else (s[m // 2 - 1] + s[m // 2]) / 2.0
+
+    a = got[got.key == "a"].reset_index(drop=True)
+    for i in range(len(base)):
+        wnd = base[max(0, i - 4) : i + 1]
+        med = py_med(wnd)
+        mad = py_med([abs(x - med) for x in wnd])
+        assert a.med[i] == med and a.mad[i] == mad, i
+        assert bool(a.is_outlier[i]) == (abs(base[i] - med) > 3.0 * 1.4826 * mad), i
+    assert bool(a.is_outlier[8]), "the 5000 spike must flag"
+    assert a.is_outlier.sum() == 1, "neighbors of the spike must NOT flag"
+    c = got[got.key == "c"]
+    assert (c.mad == 0).all() and c.robust_z.isna().all()
+    assert not c.is_outlier.any()

@@ -321,7 +321,7 @@ class _FakeIcebergIO:
     def __init__(self, spark):
         self.spark = spark
         self.days = {}     # tier -> {iso_day: pandas rows}
-        self.snaps = {}    # tier -> [batch_id, ...] newest last
+        self.snaps = {}    # tier -> [(batch_id, checkpoint) | None, ...] newest last
         self.schema = {}
 
     def exists(self, tier):
@@ -335,18 +335,29 @@ class _FakeIcebergIO:
             pd.concat(parts, ignore_index=True), self.schema[tier]
         )
 
-    def overwrite_partitions(self, df, tier, batch_id):
+    def overwrite_partitions(self, df, tier, batch_id, checkpoint):
         pdf = df.toPandas()
         self.schema.setdefault(tier, df.schema)
         store = self.days.setdefault(tier, {})
-        # one atomic commit: partition replacement + snapshot property
+        # one atomic commit: partition replacement + snapshot properties
         for day, rows in pdf.groupby(pdf["_day"].astype(str)):
             store[day] = rows.reset_index(drop=True)
-        self.snaps.setdefault(tier, []).append(batch_id)
+        self.snaps.setdefault(tier, []).append((batch_id, checkpoint))
 
-    def last_batch_id(self, tier):
-        s = self.snaps.get(tier)
-        return s[-1] if s else None
+    def maintenance_commit(self, tier):
+        """Simulate expire_snapshots/rewrite_data_files: a newer snapshot
+        with NO sink properties (summary lacks mtsad.batch-id)."""
+        self.snaps.setdefault(tier, []).append(None)
+
+    def table(self, tier):
+        return f"fake.db.metrics_agg_{tier}"
+
+    def last_applied(self, tier):
+        # newest snapshot CARRYING the property, not the newest snapshot
+        for entry in reversed(self.snaps.get(tier, [])):
+            if entry is not None:
+                return entry
+        return None
 
 
 class _CrashingIO(_FakeIcebergIO):
@@ -357,10 +368,10 @@ class _CrashingIO(_FakeIcebergIO):
         super().__init__(spark)
         self.remaining = crash_after
 
-    def overwrite_partitions(self, df, tier, batch_id):
+    def overwrite_partitions(self, df, tier, batch_id, checkpoint):
         if self.remaining == 0:
             raise RuntimeError("simulated crash between tier commits")
-        super().overwrite_partitions(df, tier, batch_id)
+        super().overwrite_partitions(df, tier, batch_id, checkpoint)
         self.remaining -= 1
 
 
@@ -446,13 +457,56 @@ def test_iceberg_exactly_once_survives_crash_between_tiers(spark):
     sink(b1, batch_id=0)
     with pytest.raises(RuntimeError, match="simulated crash"):
         sink(b2, batch_id=1)  # 1m commits, then the "process" dies
-    assert io.snaps["1m"] == [0, 1] and io.snaps["1h"] == [0]
+    ck = sink.checkpoint
+    assert io.snaps["1m"] == [(0, ck), (1, ck)] and io.snaps["1h"] == [(0, ck)]
 
     io.remaining = 10  # restart
     sink(b2, batch_id=1)  # foreachBatch re-delivers the uncommitted batch
-    assert io.snaps["1m"] == [0, 1], "replayed tier must not double-merge"
-    assert io.snaps["1h"] == [0, 1] and io.snaps["1d"] == [0, 1]
+    assert io.snaps["1m"] == [(0, ck), (1, ck)], "replayed tier must not double-merge"
+    assert io.snaps["1h"] == [(0, ck), (1, ck)]
+    assert io.snaps["1d"] == [(0, ck), (1, ck)]
     _assert_matches_rebuild(io, ev)
+
+
+def test_iceberg_guard_survives_maintenance_commits(spark):
+    """Table maintenance (expire_snapshots / rewrite_data_files) appends
+    snapshots WITHOUT the sink's batch-id property; the replay guard must
+    read the newest snapshot CARRYING the property, or a replayed batch
+    after maintenance double-merges (code-review r6)."""
+    from pyspark.sql import functions as F
+
+    io = _FakeIcebergIO(spark)
+    ev, sink = _iceberg_sink_fixture(spark, io)
+    b1 = ev.filter(F.abs(F.hash("ts")) % 2 == 0)
+    b2 = ev.filter(F.abs(F.hash("ts")) % 2 == 1)
+    sink(b1, batch_id=0)
+    sink(b2, batch_id=1)
+    for tier in ("1m", "1h", "1d"):
+        io.maintenance_commit(tier)  # newest snapshot now lacks the property
+    snaps_before = {t: list(s) for t, s in io.snaps.items()}
+    sink(b2, batch_id=1)  # replay after maintenance: must still skip
+    assert io.snaps == snaps_before
+    _assert_matches_rebuild(io, ev)
+
+
+def test_iceberg_fresh_checkpoint_refuses_existing_table(spark):
+    """A NEW stream (fresh checkpoint, batch ids restart at 0) pointed at
+    tier tables fed by a different checkpoint must refuse loudly instead of
+    batch-id-skipping every real batch — same contract as the parquet
+    ledger (code-review r6)."""
+    from mtsad_spark.streaming.continuous_stream import (
+        IcebergStreamingContinuousAggregate,
+    )
+
+    io = _FakeIcebergIO(spark)
+    ev, sink = _iceberg_sink_fixture(spark, io)
+    sink.checkpoint = "/ck/old"
+    sink(ev, batch_id=0)
+    sink2 = IcebergStreamingContinuousAggregate(
+        io, ["event_type"], "ts", "cents", checkpoint="/ck/new"
+    )
+    with pytest.raises(ValueError, match="checkpoint"):
+        sink2(ev, batch_id=0)
 
 
 def test_streaming_token_drift_matches_batch(spark, tmp_path):
