@@ -5617,6 +5617,110 @@ def source_jaccard_seqfix(spark, sf_dir):
     return source_ngram_jaccard(seq, "source", "tokens", n=2)
 
 
+def _token_novelty_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    w = 900
+    return f"""
+    WITH tok AS (SELECT make_timestamp(((epoch(ingest_ts)::BIGINT // {w}) * {w})
+                                       * 1000000) AS bucket_ts,
+                        unnest(tokens) AS token
+                 FROM '{SEQFIX_PATH}'),
+    pb AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_tokens,
+                  CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+           FROM tok GROUP BY 1),
+    fo AS (SELECT token, min(bucket_ts) AS bucket_ts FROM tok GROUP BY 1),
+    nv AS (SELECT bucket_ts, CAST(count(*) AS BIGINT) AS n_novel
+           FROM fo GROUP BY 1)
+    SELECT pb.bucket_ts, pb.n_tokens, pb.n_distinct,
+           CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+             / CAST(pb.n_distinct AS DOUBLE) AS novelty_rate
+    FROM pb LEFT JOIN nv USING (bucket_ts)
+    """
+
+
+@_q("token_novelty_15m_seqfix", _token_novelty_sql())
+def token_novelty_15m_seqfix(spark, sf_dir):
+    """Novel-token rate per 15-min ingest bucket (functions/text.
+    token_novelty — the vocabulary-shift leading indicator next to the KL
+    drift): a token is novel in the bucket of its corpus-wide FIRST
+    occurrence (map-side min(bucket), never an ordered scan);
+    novelty_rate is ONE division of exact BIGINTs."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.functions.text import token_novelty
+
+    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    return token_novelty(seq, "ingest_ts", "tokens", 900)
+
+
+def _token_entropy_sql() -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    w = 900
+    return f"""
+    WITH tok AS (SELECT make_timestamp(((epoch(ingest_ts)::BIGINT // {w}) * {w})
+                                       * 1000000) AS bucket_ts,
+                        unnest(tokens) AS token
+                 FROM '{SEQFIX_PATH}'),
+    c AS (SELECT bucket_ts, token, CAST(count(*) AS BIGINT) AS cnt
+          FROM tok GROUP BY 1, 2),
+    agg AS (SELECT bucket_ts, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(cnt * CAST(round(ln(cnt) * 1000000, 0) AS BIGINT))
+                        AS BIGINT) AS term
+            FROM c GROUP BY 1)
+    SELECT bucket_ts, n_tokens, n_distinct,
+           CAST(n_tokens * CAST(round(ln(n_tokens) * 1000000, 0) AS BIGINT) - term
+                AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * 1000000.0)
+             AS entropy_nats
+    FROM agg
+    """
+
+
+@_q("token_entropy_15m_seqfix", _token_entropy_sql())
+def token_entropy_15m_seqfix(spark, sf_dir):
+    """Per-bucket token-distribution Shannon entropy (functions/text.
+    token_bucket_entropy): scores each 15-min ingest bucket alone — a
+    collapse to templated output is visible without a reference bucket,
+    complementing the consecutive-bucket KL drift. Quantized-log
+    discipline: BIGINT term sums, ONE final division, bitwise."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.functions.text import token_bucket_entropy
+
+    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    return token_bucket_entropy(seq, "ingest_ts", "tokens", 900)
+
+
+@_q(
+    "asof_tolerance_events",
+    _hourly_cte()
+    + """
+    SELECT e.event_id, e.ts, e.event_type,
+           CASE WHEN e.ts - h.bucket_ts <= INTERVAL 30 MINUTE
+                THEN round(h.avg_v, 6) END AS last_hourly_avg
+    FROM events e ASOF LEFT JOIN hourly h
+      ON e.event_type = h.event_type AND e.ts >= h.bucket_ts
+    """,
+)
+def asof_tolerance_events(spark, sf_dir):
+    """As-of join with a staleness bound (operators/joins.asof_join
+    tolerance=1800s — the pandas merge_asof(tolerance)/QuestDB TOLERANCE
+    contract): the latest preceding hourly point older than 30 minutes
+    nulls out rather than matching. Oracled against DuckDB's native ASOF
+    JOIN with an interval post-filter on the matched bucket_ts."""
+    from mtsad_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    hourly = _hourly_df(spark, sf_dir)
+    out = asof_join(
+        ev, hourly, ["event_type"], "ts", "bucket_ts", ["avg_v"], tolerance=1800.0
+    )
+    return out.select(
+        "event_id", "ts", "event_type", F.round("avg_v", 6).alias("last_hourly_avg")
+    )
+
+
 @_q(
     "percentile_rank_1h",
     _HOURLY_LOAD_CTE
@@ -5746,6 +5850,9 @@ _PRIORITY = [
     "bigram_pmi_top_seqfix",
     "percentile_rank_1h",
     "tier_consistency_audit",
+    "asof_tolerance_events",
+    "token_novelty_15m_seqfix",
+    "token_entropy_15m_seqfix",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",

@@ -619,3 +619,100 @@ def bigram_pmi(
             "rank",
         )
     )
+
+
+def _time_bucket(ts_col: str, bucket_width_s: int) -> Column:
+    """Epoch-floored naive bucket timestamp (the token_distribution_drift
+    convention — DuckDB twin: make_timestamp((epoch//w)*w * 1e6))."""
+    w = F.lit(int(bucket_width_s)).cast("long")
+    return (
+        (F.col(ts_col).cast("timestamp").cast("long") / w).cast("long") * w
+    ).cast("timestamp")
+
+
+def token_novelty(
+    df: DataFrame,
+    ts_col: str,
+    tokens_col: str,
+    bucket_width_s: int,
+) -> DataFrame:
+    """Novel-token rate per ingest bucket — the vocabulary-shift monitor
+    that answers "how much of this bucket's vocabulary has NEVER been seen
+    before?" (first-occurrence novelty), the time-axis sibling of
+    :func:`vocab_growth`'s Heaps curve and the drift family's leading
+    indicator for a contaminated or re-mixed ingest stream.
+
+    Exact: a token is novel in the bucket holding its corpus-wide FIRST
+    occurrence — a map-side-combined ``min(bucket)`` per token (never an
+    ordered scan); ``novelty_rate = n_novel / n_distinct`` is ONE division
+    of exact BIGINTs.
+
+    Scale shape: the explode → (bucket, token) count is map-side combined;
+    the first-occurrence frame is vocab-bounded; the join back is
+    bucket-keyed (#buckets rows). Returns
+    ``(bucket_ts, n_tokens, n_distinct, n_novel, novelty_rate)``.
+    """
+    tok = df.select(
+        _time_bucket(ts_col, bucket_width_s).alias("bucket_ts"),
+        F.explode(tokens_col).alias("token"),
+    )
+    per_b = tok.groupBy("bucket_ts").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("token").alias("n_distinct"),
+    )
+    first = (
+        tok.groupBy("token")
+        .agg(F.min("bucket_ts").alias("bucket_ts"))
+        .groupBy("bucket_ts")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    j = per_b.join(first, "bucket_ts", "left").fillna(0, ["n_novel"])
+    return j.select(
+        "bucket_ts",
+        "n_tokens",
+        "n_distinct",
+        "n_novel",
+        (F.col("n_novel").cast("double") / F.col("n_distinct").cast("double")).alias(
+            "novelty_rate"
+        ),
+    )
+
+
+def token_bucket_entropy(
+    df: DataFrame,
+    ts_col: str,
+    tokens_col: str,
+    bucket_width_s: int,
+) -> DataFrame:
+    """Shannon entropy of the token distribution per ingest bucket — the
+    per-bucket diversity tier next to the KL drift
+    (:func:`token_distribution_drift` compares CONSECUTIVE buckets; this
+    scores each bucket alone, so a collapse to templated output is visible
+    without a reference bucket).
+
+    ``H = (N·L(N) − Σc·L(c)) / (N·10⁶)`` with L = round(ln·10⁶) of INTEGER
+    counts (the lang_entropy quantized-log discipline): BIGINT term sums,
+    ONE final division — bitwise across engines and parallelism.
+
+    Returns ``(bucket_ts, n_tokens, n_distinct, entropy_nats)``.
+    """
+    tok = df.select(
+        _time_bucket(ts_col, bucket_width_s).alias("bucket_ts"),
+        F.explode(tokens_col).alias("token"),
+    )
+    lnq = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("long")
+    c = tok.groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = c.groupBy("bucket_ts").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * lnq(F.col("cnt"))).alias("_t"),
+    )
+    return agg.select(
+        "bucket_ts",
+        "n_tokens",
+        "n_distinct",
+        (
+            (F.col("n_tokens") * lnq(F.col("n_tokens")) - F.col("_t")).cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(1000000.0))
+        ).alias("entropy_nats"),
+    )

@@ -49,9 +49,17 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     coarse_width: float = 3600.0,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Left rows + latest-right-row values (right_ts ≤ left_ts) per key;
     right columns are null when no right row precedes the left row.
+
+    ``tolerance`` (seconds) bounds the staleness of the match, the pandas
+    ``merge_asof(tolerance=...)`` / QuestDB ``ASOF JOIN TOLERANCE``
+    contract: when ``left_ts − matched_right_ts > tolerance`` the right
+    columns come back null, exactly as if no right row preceded. The match
+    itself is unchanged (latest preceding row, then the bound is applied)
+    — a fresher-but-not-latest right row never substitutes.
 
     Right (keys, right_ts) should be unique per key (the rollup-series
     shape); equal right timestamps within one key make the surviving row
@@ -67,19 +75,28 @@ def asof_join(
             f"right_cols collide with left columns: {sorted(overlap)}; "
             "rename before joining"
         )
+    if tolerance is not None and tolerance <= 0:
+        raise ValueError(f"tolerance must be > 0 seconds, got {tolerance}")
     internal = {
         "_asof_ts", "_asof_side", "_asof_cb", "_asof_rv", "_asof_loc",
-        "_asof_carry", "_asof_part",
+        "_asof_carry", "_asof_part", "_asof_mt",
     }
     clash = internal & (set(left.columns) | set(right.columns))
     if clash:
         raise ValueError(f"reserved internal column names present: {sorted(clash)}")
 
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     lcols = list(left.columns)
     ltypes = dict(left.dtypes)
-    rv_type = StructType([right.schema[c] for c in right_cols])
+    lts_dtype = ltypes[left_ts]
+    rts_dtype = dict(right.dtypes)[right_ts]
+    rv_type = StructType(
+        # matched-right-ts field rides inside the value struct so the
+        # tolerance bound can be applied after the carry/resolve
+        [StructField("_asof_mt", right.schema[right_ts].dataType)]
+        + [right.schema[c] for c in right_cols]
+    )
     # SQL join semantics: NULL keys/timestamps never match. Left rows with a
     # null key or null ts bypass the machinery and come back with null right
     # columns (ASOF LEFT JOIN keeps them); right rows with nulls can match
@@ -102,7 +119,10 @@ def asof_join(
         *keys,
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
-        F.struct(*[F.col(c).alias(c) for c in right_cols]).alias("_asof_rv"),
+        F.struct(
+            F.col(right_ts).alias("_asof_mt"),
+            *[F.col(c).alias(c) for c in right_cols],
+        ).alias("_asof_rv"),
     )
     for c in lcols:
         if c not in keys:
@@ -157,9 +177,26 @@ def asof_join(
         .withColumn("_asof_loc", F.last("_asof_rv", ignorenulls=True).over(wloc))
         .withColumn("_asof_rv", F.coalesce("_asof_loc", "_asof_carry"))
     )
+    if tolerance is None:
+        vals = [F.col("_asof_rv").getField(c).alias(c) for c in right_cols]
+    else:
+
+        def _ep(col, dtype):
+            if dtype.startswith("timestamp"):
+                col = col.cast("timestamp")
+            return col.cast("double")
+
+        fresh = (
+            _ep(F.col(left_ts), lts_dtype)
+            - _ep(F.col("_asof_rv").getField("_asof_mt"), rts_dtype)
+        ) <= F.lit(float(tolerance))
+        vals = [
+            F.when(fresh, F.col("_asof_rv").getField(c)).alias(c)
+            for c in right_cols
+        ]
     matched = (
         resolved.filter(F.col("_asof_side") == 1)
-        .select(*lcols, *[F.col("_asof_rv").getField(c).alias(c) for c in right_cols])
+        .select(*lcols, *vals)
     )
     return matched.unionByName(left_null)
 

@@ -942,3 +942,42 @@ def test_bigram_pmi_vs_python(spark):
     # the deterministic alternation: both (1,2) and (2,1) are certain pairs
     t_rows = got[got.source == "t"]
     assert set(zip(t_rows.a, t_rows.b)) == {(1, 2), (2, 1)}
+
+
+def test_token_novelty_and_bucket_entropy_vs_python(spark):
+    """First-occurrence novelty per time bucket and per-bucket quantized
+    entropy must equal python replays; a bucket of one repeated token has
+    zero entropy; the first bucket is 100% novel."""
+    import datetime as dt
+    import math
+    from collections import Counter
+
+    from mtsad_spark.functions.text import token_bucket_entropy, token_novelty
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("d0", t0 + dt.timedelta(seconds=10), [1, 2, 3]),
+        ("d1", t0 + dt.timedelta(seconds=800), [2, 3, 4]),
+        ("d2", t0 + dt.timedelta(seconds=950), [1, 5]),       # bucket 1: novel {5}
+        ("d3", t0 + dt.timedelta(seconds=1900), [7, 7, 7, 7]),  # bucket 2: constant
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts timestamp, tokens array<int>")
+    nov = token_novelty(df, "ts", "tokens", 900).toPandas().sort_values("bucket_ts")
+    assert list(nov.n_tokens) == [6, 2, 4]
+    assert list(nov.n_distinct) == [4, 2, 1]
+    assert list(nov.n_novel) == [4, 1, 1]  # {1,2,3,4}; {5}; {7}
+    assert list(nov.novelty_rate) == [1.0, 0.5, 1.0]
+
+    ent = token_bucket_entropy(df, "ts", "tokens", 900).toPandas().sort_values("bucket_ts")
+    L = lambda v: round(math.log(v) * 1e6)
+
+    def py_h(toks):
+        c = Counter(toks)
+        n = sum(c.values())
+        return (n * L(n) - sum(v * L(v) for v in c.values())) / (n * 1e6)
+
+    b0 = [1, 2, 3, 2, 3, 4]
+    assert ent.entropy_nats.iloc[0] == py_h(b0)
+    assert ent.entropy_nats.iloc[1] == py_h([1, 5])
+    assert ent.entropy_nats.iloc[2] == 0.0  # constant bucket
+    assert list(ent.n_distinct) == [4, 2, 1]

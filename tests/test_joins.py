@@ -165,3 +165,60 @@ def test_interval_join_binned_vs_bruteforce(spark):
         m = iv[(iv["k"] == p["k"]) & (iv["start"] <= p["ts"]) & (p["ts"] <= iv["end"])]
         want_pairs |= {(p["pid"], i) for i in m["iid"]}
     assert got_pairs == want_pairs and len(want_pairs) > 50
+
+
+def test_asof_join_tolerance_matches_merge_asof(spark):
+    """tolerance bounds match staleness exactly like pandas
+    merge_asof(tolerance=...): stale matches null out, the latest
+    preceding row is never substituted by a fresher non-latest one, and
+    small coarse buckets (carry path) respect the bound too."""
+    rng = np.random.RandomState(31)
+    lt = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 300),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 90_000, 300), unit="s"),
+            "x": rng.randn(300),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 40),
+            "ts": pd.Timestamp("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 90_000, 40), unit="s"),
+            "v": rng.randn(40),
+        }
+    ).drop_duplicates(subset=["k", "ts"])
+    tol = 1800.0
+    for cw in (3600.0, 600.0):  # local-resolve AND carry-across-buckets paths
+        got = (
+            asof_join(
+                spark.createDataFrame(lt), spark.createDataFrame(rt),
+                ["k"], "ts", "ts", ["v"], coarse_width=cw, tolerance=tol,
+            )
+            .toPandas()
+            .sort_values(["k", "ts", "x"])
+            .reset_index(drop=True)
+        )
+        want = (
+            pd.merge_asof(
+                lt.sort_values("ts"), rt.sort_values("ts"),
+                on="ts", by="k", direction="backward",
+                tolerance=pd.Timedelta(seconds=tol),
+            )
+            .sort_values(["k", "ts", "x"])
+            .reset_index(drop=True)
+        )
+        gn, wn = got["v"].isna().values, want["v"].isna().values
+        assert (gn == wn).all(), cw
+        assert np.allclose(
+            got["v"].values[~gn].astype(float), want["v"].values[~wn].astype(float)
+        ), cw
+        assert gn.sum() > 2, "fixture must exercise the stale-null path"
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="tolerance"):
+        asof_join(
+            spark.createDataFrame(lt), spark.createDataFrame(rt),
+            ["k"], "ts", "ts", ["v"], tolerance=0,
+        )

@@ -556,3 +556,55 @@ def test_r6_ops_plans_are_scale_clean(spark, events):
         assert "Aggregate" in child or "Join" in child, (
             f"bare-key window over raw rows:\n{line}"
         )
+
+
+def test_r6_robust_and_corpus_ops_are_scale_clean(spark):
+    """Round-6 additions under the standing static-plan bans: the robust
+    scorers (rolling median / Hampel) must stay pure JVM window algebra
+    (no Python eval), the corpus-statistics family (zipf, PMI, entropy,
+    novelty, jaccard) must be equi-join only (no cartesian / nested-loop),
+    and none may carry explicit broadcast hints on corpus-proportional
+    frames."""
+    import datetime as dt
+
+    from mtsad_spark.functions.text import (
+        bigram_conditional_entropy,
+        bigram_pmi,
+        token_bucket_entropy,
+        token_novelty,
+        zipf_slope,
+    )
+    from mtsad_spark.operators.dedup import source_ngram_jaccard
+    from mtsad_spark.operators.stats import hampel_filter, rolling_median
+
+    t0 = dt.datetime(2024, 1, 1)
+    tier = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(hours=i), 100 + i) for i in range(30)],
+        "key string, ts timestamp, v long",
+    )
+    seq = spark.createDataFrame(
+        [("s%d" % (i % 3), t0 + dt.timedelta(seconds=60 * i), list(range(i, i + 8)))
+         for i in range(30)],
+        "source string, ts timestamp, tokens array<int>",
+    )
+    docs = spark.createDataFrame(
+        [("s%d" % (i % 3), "tok%d word%d the and" % (i, i % 7)) for i in range(30)],
+        "source string, text string",
+    )
+    frames = [
+        rolling_median(tier, ["key"], "ts", "v", 5),
+        hampel_filter(tier, ["key"], "ts", "v", 5),
+        zipf_slope(docs, "source", "text", top_k=100),
+        bigram_conditional_entropy(seq, "source", "tokens"),
+        bigram_pmi(seq, "source", "tokens", min_count=1, top_k=5),
+        source_ngram_jaccard(seq, "source", "tokens", n=2),
+        token_novelty(seq, "ts", "tokens", 900),
+        token_bucket_entropy(seq, "ts", "tokens", 900),
+    ]
+    for i, f in enumerate(frames):
+        p = plan_of(f)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, i
+        assert "CartesianProduct" not in p, i
+        assert "BroadcastNestedLoopJoin" not in p, i
+        analyzed = f._jdf.queryExecution().analyzed().toString()
+        assert "ResolvedHint" not in analyzed, i
