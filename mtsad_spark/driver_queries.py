@@ -5540,6 +5540,59 @@ def bigram_pmi_top_seqfix(spark, sf_dir):
     return bigram_pmi(seq, "source", "tokens", min_count=5, top_k=20)
 
 
+def _hampel_episodes_sql() -> str:
+    k = 3.0 * 1.4826
+    return (
+        _HOURLY_LOAD_CTE
+        + f""",
+    hm AS (SELECT event_type, bucket_ts, lv,
+                  CAST(median(lv) OVER w AS DOUBLE) AS med,
+                  CAST(mad(lv) OVER w AS DOUBLE) AS mad
+           FROM hourly
+           WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+    hot AS (SELECT event_type, bucket_ts, lv,
+                   CAST(floor(epoch(bucket_ts)) AS BIGINT) AS ep
+            FROM hm WHERE abs(lv - med) > {k!r} * mad),
+    g AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                         OR ep - lag(ep) OVER w > 7200 THEN 1 ELSE 0 END AS new_e
+          FROM hot WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
+    e AS (SELECT *, sum(new_e) OVER (PARTITION BY event_type ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eid
+          FROM g)
+    SELECT event_type, min(bucket_ts) AS start_ts, max(bucket_ts) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_hot,
+           CAST(max(ep) - min(ep) + 3600 AS BIGINT) AS duration_s,
+           CAST(max(lv) AS BIGINT) AS peak_cents,
+           CAST(sum(lv) AS BIGINT) AS sum_cents
+    FROM e GROUP BY event_type, eid HAVING count(*) >= 2
+    """
+    )
+
+
+@_q("hampel_episodes_1h", _hampel_episodes_sql())
+def hampel_episodes_1h(spark, sf_dir):
+    """END-TO-END robust detector → alert intervals: Hampel flags over the
+    hourly tier (operators/stats.hampel_filter — exact median/MAD, one
+    shared float literal) merged into episodes (operators/alerts.episodes,
+    merge_gap=1, min_len=2). The flag comparison is on bitwise-identical
+    doubles, so the composition stays oracle-exact through BOTH stages —
+    the detector twin of anomaly_episodes_1h's mean-threshold rule."""
+    from mtsad_spark.operators.alerts import episodes
+    from mtsad_spark.operators.stats import hampel_filter
+
+    h = _hourly_load_df(spark, sf_dir)
+    hf = hampel_filter(h, ["event_type"], "bucket_ts", "lv", window=24)
+    ep = episodes(
+        hf, ["event_type"], "bucket_ts", 3600,
+        hot_col="is_outlier", val_col="lv", merge_gap=1, min_len=2,
+    )
+    return ep.select(
+        "event_type", "start_ts", "end_ts", "n_hot", "duration_s",
+        F.col("peak_val").alias("peak_cents"), F.col("sum_val").alias("sum_cents"),
+    )
+
+
 def _bigram_entropy_sql() -> str:
     from mtsad_spark.fixture_cache import SEQFIX_PATH
 
@@ -5853,6 +5906,7 @@ _PRIORITY = [
     "asof_tolerance_events",
     "token_novelty_15m_seqfix",
     "token_entropy_15m_seqfix",
+    "hampel_episodes_1h",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",
