@@ -5540,6 +5540,61 @@ def bigram_pmi_top_seqfix(spark, sf_dir):
     return bigram_pmi(seq, "source", "tokens", min_count=5, top_k=20)
 
 
+@_q(
+    "rollup_multi_1h",
+    """
+    WITH m AS (SELECT event_type, date_trunc('minute', ts) AS b,
+                      CAST(round(value * 100, 0) AS BIGINT) AS c,
+                      CAST(length(props) AS BIGINT) AS p
+               FROM events),
+    mm AS (SELECT event_type, b, CAST(count(*) AS BIGINT) AS cnt,
+                  CAST(count(c) AS BIGINT) AS cents_cnt,
+                  CAST(sum(c) AS BIGINT) AS cents_s1,
+                  CAST(sum(c * c) AS BIGINT) AS cents_s2,
+                  CAST(min(c) AS BIGINT) AS cents_min,
+                  CAST(max(c) AS BIGINT) AS cents_max,
+                  CAST(count(p) AS BIGINT) AS plen_cnt,
+                  CAST(sum(p) AS BIGINT) AS plen_s1,
+                  CAST(sum(p * p) AS BIGINT) AS plen_s2,
+                  CAST(min(p) AS BIGINT) AS plen_min,
+                  CAST(max(p) AS BIGINT) AS plen_max
+           FROM m GROUP BY 1, 2)
+    SELECT event_type, date_trunc('hour', b) AS bucket_ts,
+           CAST(sum(cnt) AS BIGINT) AS cnt,
+           CAST(sum(cents_cnt) AS BIGINT) AS cents_cnt,
+           CAST(sum(cents_s1) AS BIGINT) AS cents_s1,
+           CAST(sum(cents_s2) AS BIGINT) AS cents_s2,
+           CAST(min(cents_min) AS BIGINT) AS cents_min,
+           CAST(max(cents_max) AS BIGINT) AS cents_max,
+           CAST(sum(plen_cnt) AS BIGINT) AS plen_cnt,
+           CAST(sum(plen_s1) AS BIGINT) AS plen_s1,
+           CAST(sum(plen_s2) AS BIGINT) AS plen_s2,
+           CAST(min(plen_min) AS BIGINT) AS plen_min,
+           CAST(max(plen_max) AS BIGINT) AS plen_max
+    FROM mm GROUP BY 1, 2
+    """,
+)
+def rollup_multi_1h(spark, sf_dir):
+    """Multi-metric rollup (operators/rollup.rollup_partials_multi →
+    reaggregate_multi): TWO measures (value cents + props byte length) in
+    ONE scan and ONE shuffle, composed 1m→1h as a pure partial merge — M
+    single-metric rollups would cost M raw scans, the dominant cost at the
+    100 TB design point. All partials LONG; oracle replays the same
+    minute-hop composition."""
+    from mtsad_spark.operators.rollup import (
+        reaggregate_multi,
+        rollup_partials_multi,
+    )
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .withColumn("plen", F.length("props").cast("long"))
+    )
+    m = rollup_partials_multi(ev, "ts", ["cents", "plen"], ["event_type"], "1m")
+    return reaggregate_multi(m, ["cents", "plen"], ["event_type"], "1h")
+
+
 def _hampel_episodes_sql() -> str:
     k = 3.0 * 1.4826
     return (
@@ -5907,6 +5962,7 @@ _PRIORITY = [
     "token_novelty_15m_seqfix",
     "token_entropy_15m_seqfix",
     "hampel_episodes_1h",
+    "rollup_multi_1h",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",

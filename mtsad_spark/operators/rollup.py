@@ -811,3 +811,64 @@ def histogram_distance(
     return out.select(
         *keys, "bucket_ts", "n_cur", "n_prev", "l1_scaled", tv.alias("tv")
     )
+
+
+def rollup_partials_multi(
+    df: DataFrame,
+    ts_col: str,
+    val_cols: list[str],
+    keys: list[str],
+    tier: str = "1m",
+) -> DataFrame:
+    """Multi-metric base-tier partials — M measures in ONE scan and ONE
+    shuffle (the single-metric :func:`rollup_partials` run M times costs M
+    scans of the raw table; at the 100 TB design point that difference is
+    the job). Per measure ``c`` the output carries ``{c}_s1, {c}_s2,
+    {c}_min, {c}_max`` plus one shared ``cnt``; every sum is LONG (exact,
+    order-independent — the same determinism contract as the single-metric
+    tier, so the multi-rollup is bitwise equal to M independent rollups).
+
+    NULL discipline: ``cnt`` counts ROWS (the shared time spine);
+    ``{c}_cnt`` counts non-null values of each measure so per-measure means
+    stay correct under missing metrics.
+
+    Scale shape: identical to rollup_partials — map-side combined partial
+    aggregation, one exchange on (keys, bucket); wider rows, same shuffle
+    cardinality. ``reaggregate_multi`` composes coarser tiers from these
+    partials without re-reading raw data.
+    """
+    if not val_cols:
+        raise ValueError("val_cols must be non-empty")
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in val_cols:
+        v = F.col(c).cast("long")
+        aggs += [
+            F.count(c).alias(f"{c}_cnt"),
+            F.sum(v).alias(f"{c}_s1"),
+            F.sum(v * v).alias(f"{c}_s2"),
+            F.min(v).alias(f"{c}_min"),
+            F.max(v).alias(f"{c}_max"),
+        ]
+    return df.groupBy(
+        *keys, bucket_expr(ts_col, tier).alias("bucket_ts")
+    ).agg(*aggs)
+
+
+def reaggregate_multi(
+    partials: DataFrame, val_cols: list[str], keys: list[str], tier: str
+) -> DataFrame:
+    """Coarser-tier composition of :func:`rollup_partials_multi` output —
+    pure partial merge (LONG sums associative; min/max idempotent), never
+    touches raw rows."""
+    aggs = [F.sum("cnt").alias("cnt")]
+    for c in val_cols:
+        aggs += [
+            F.sum(f"{c}_cnt").alias(f"{c}_cnt"),
+            F.sum(f"{c}_s1").alias(f"{c}_s1"),
+            F.sum(f"{c}_s2").alias(f"{c}_s2"),
+            F.min(f"{c}_min").alias(f"{c}_min"),
+            F.max(f"{c}_max").alias(f"{c}_max"),
+        ]
+    return partials.groupBy(
+        *keys, bucket_expr("bucket_ts", tier).alias("bucket_ts")
+    ).agg(*aggs)

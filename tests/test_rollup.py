@@ -592,3 +592,78 @@ def test_histogram_distance_vs_numpy(spark):
     shift = got[("k", t0 + dt.timedelta(hours=3))]["tv"]
     calm = got[("k", t0 + dt.timedelta(hours=2))]["tv"]
     assert shift > 5 * calm
+
+
+def test_multi_metric_rollup_equals_independent_rollups(spark):
+    """M metrics in one pass must be BITWISE equal to M single-metric
+    rollups (same LONG-partial determinism contract), per-measure null
+    counts must diverge from the row count under missing values, and the
+    1h composition must equal a direct 1h multi-rollup. The plan must show
+    ONE scan + map-side combine."""
+    import datetime as dt
+
+    import numpy as np
+
+    from mtsad_spark.operators.rollup import (
+        reaggregate_multi,
+        rollup_partials,
+        rollup_partials_multi,
+    )
+
+    rng = np.random.default_rng(41)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(4000):
+        rows.append(
+            (
+                "k%d" % (i % 3),
+                t0 + dt.timedelta(seconds=int(rng.integers(0, 7200))),
+                int(rng.integers(-500, 500)),
+                int(rng.integers(0, 100)) if i % 7 else None,  # nulls in m2
+            )
+        )
+    df = spark.createDataFrame(rows, "key string, ts timestamp, m1 long, m2 long")
+    multi = (
+        rollup_partials_multi(df, "ts", ["m1", "m2"], ["key"], "1m")
+        .toPandas()
+        .sort_values(["key", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    for c in ("m1", "m2"):
+        single = (
+            rollup_partials(df, "ts", c, ["key"], "1m")
+            .toPandas()
+            .sort_values(["key", "bucket_ts"])
+            .reset_index(drop=True)
+        )
+        assert (multi[f"{c}_cnt"].values == single["cnt"].values).all(), c
+        for a, b in ((f"{c}_s1", "s1"), (f"{c}_s2", "s2"), (f"{c}_min", "vmin"), (f"{c}_max", "vmax")):
+            assert (multi[a].values == single[b].values).all(), (c, a)
+    assert (multi["cnt"].values >= multi["m2_cnt"].values).all()
+    assert (multi["cnt"].values > multi["m2_cnt"].values).any(), "null path unexercised"
+
+    comp = (
+        reaggregate_multi(
+            rollup_partials_multi(df, "ts", ["m1", "m2"], ["key"], "1m"),
+            ["m1", "m2"],
+            ["key"],
+            "1h",
+        )
+        .toPandas()
+        .sort_values(["key", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        rollup_partials_multi(df, "ts", ["m1", "m2"], ["key"], "1h")
+        .toPandas()
+        .sort_values(["key", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert (comp.values == direct.values).all()
+
+    from tests.test_plans import plan_of
+
+    p = plan_of(rollup_partials_multi(df, "ts", ["m1", "m2"], ["key"], "1m"))
+    assert "partial_sum" in p, "map-side combine missing"
+    with pytest.raises(ValueError):
+        rollup_partials_multi(df, "ts", [], ["key"])
