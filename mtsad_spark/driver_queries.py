@@ -5541,6 +5541,112 @@ def bigram_pmi_top_seqfix(spark, sf_dir):
 
 
 @_q(
+    "seasonal_median_residual_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    , ph AS (SELECT event_type, bucket_ts, lv,
+                    CAST(extract(hour FROM bucket_ts) AS INT) AS phase
+             FROM hourly),
+    prof AS (SELECT event_type, phase, CAST(median(lv) AS DOUBLE) AS profile
+             FROM ph GROUP BY 1, 2)
+    SELECT p.event_type, p.bucket_ts, p.lv, p.phase, pr.profile,
+           p.lv - pr.profile AS residual
+    FROM ph p JOIN prof pr USING (event_type, phase)
+    """,
+)
+def seasonal_median_residual_1h(spark, sf_dir):
+    """ROBUST seasonal decomposition (operators/stats.
+    seasonal_profile_residual robust=True): the hour-of-day profile is the
+    EXACT per-phase median of integer cents — ints and .5 halves, bitwise
+    vs DuckDB's median — so one anomalous day cannot drag its phase's
+    baseline the way the mean profile's does (the Hampel rationale applied
+    to the seasonal fit); residual is a difference of exact doubles."""
+    from mtsad_spark.operators.stats import seasonal_profile_residual
+
+    h = _hourly_load_df(spark, sf_dir)
+    out = seasonal_profile_residual(
+        h, ["event_type"], "bucket_ts", "lv", "hour", robust=True
+    )
+    return out.select(
+        "event_type", "bucket_ts", "lv", "phase", "profile", "residual"
+    )
+
+
+@_q(
+    "cusum_alarm_onsets_1h",
+    """
+    WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+                          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
+                   FROM events GROUP BY 1, 2),
+         fit AS (SELECT event_type, CAST(FLOOR(avg(load)) AS BIGINT) AS k
+                 FROM hload GROUP BY 1),
+         d AS (SELECT h.event_type, h.bucket_ts, h.load, f.k, h.load - f.k AS dev
+               FROM hload h JOIN fit f USING (event_type)),
+         c AS (SELECT event_type, bucket_ts, load, k,
+                      CAST(sum(dev) OVER w AS BIGINT) AS cu,
+                      CAST(sum(-dev) OVER w AS BIGINT) AS cd
+               FROM d WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         s AS (SELECT event_type, bucket_ts, load, k,
+                      cu - LEAST(min(cu) OVER w2, 0) AS up,
+                      cd - LEAST(min(cd) OVER w2, 0) AS dn
+               FROM c WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket_ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         hot AS (SELECT event_type, bucket_ts, load,
+                        CAST(floor(epoch(bucket_ts)) AS BIGINT) AS ep
+                 FROM s WHERE up > 10 * k OR dn > 10 * k),
+         g AS (SELECT *, CASE WHEN lag(ep) OVER w IS NULL
+                              OR ep - lag(ep) OVER w > 3600 THEN 1 ELSE 0 END AS new_e
+               FROM hot WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)),
+         e AS (SELECT *, sum(new_e) OVER (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eid
+               FROM g)
+    SELECT event_type, min(bucket_ts) AS start_ts, max(bucket_ts) AS end_ts,
+           CAST(count(*) AS BIGINT) AS n_hot,
+           CAST(max(ep) - min(ep) + 3600 AS BIGINT) AS duration_s,
+           CAST(max(load) AS BIGINT) AS peak_cents,
+           CAST(sum(load) AS BIGINT) AS sum_cents
+    FROM e GROUP BY event_type, eid
+    """,
+)
+def cusum_alarm_onsets_1h(spark, sf_dir):
+    """Change-point ALARM INTERVALS from the CUSUM detector: excursions
+    where either side of Page's statistic exceeds h = 10·k (k = the exact
+    BIGINT floor-mean slack — the decision threshold is a pure integer
+    inequality, no float anywhere), merged gaps-and-islands into one row
+    per excursion with its onset. Composes operators/scoring.cusum_scores
+    → operators/alerts.episodes; the third detector→episodes pipeline next
+    to the mean-threshold and Hampel twins."""
+    from mtsad_spark.operators.alerts import episodes
+    from mtsad_spark.operators.scoring import cusum_scores
+    from mtsad_spark.operators.stats import fit_join
+
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hload = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum(cents).alias("load"))
+    fit = hload.groupBy("event_type").agg(
+        F.floor(F.avg("load")).cast("long").alias("k")
+    )
+    d = fit_join(hload, fit, ["event_type"], "inner").withColumn(
+        "dev", F.col("load") - F.col("k")
+    )
+    s = cusum_scores(d, ["event_type"], "bucket_ts", "dev", k=0).withColumn(
+        "alarm",
+        (F.col("cusum_up") > 10 * F.col("k")) | (F.col("cusum_dn") > 10 * F.col("k")),
+    )
+    ep = episodes(
+        s, ["event_type"], "bucket_ts", 3600,
+        hot_col="alarm", val_col="load", merge_gap=0, min_len=1,
+    )
+    return ep.select(
+        "event_type", "start_ts", "end_ts", "n_hot", "duration_s",
+        F.col("peak_val").alias("peak_cents"), F.col("sum_val").alias("sum_cents"),
+    )
+
+
+@_q(
     "rollup_multi_1h",
     """
     WITH m AS (SELECT event_type, date_trunc('minute', ts) AS b,
@@ -5963,6 +6069,8 @@ _PRIORITY = [
     "token_entropy_15m_seqfix",
     "hampel_episodes_1h",
     "rollup_multi_1h",
+    "cusum_alarm_onsets_1h",
+    "seasonal_median_residual_1h",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",

@@ -297,6 +297,7 @@ def seasonal_profile_residual(
     ts_col: str,
     val_col: str,
     period_expr: str = "hour",
+    robust: bool = False,
 ) -> DataFrame:
     """Seasonal-profile decomposition on the rollup series (the rollup-engine
     counterpart of the FFT/HP detrenders in functions/signal.py): per
@@ -307,10 +308,19 @@ def seasonal_profile_residual(
     profile join — profiles are keys × period_cardinality rows at any data
     scale).
 
+    ``robust=True`` swaps the phase mean for the EXACT median (never
+    percentile_approx — the repo exactness rule): with integer cents the
+    profile is an int or .5 half, bitwise equal to DuckDB's ``median``,
+    and one outlier day cannot drag its phase's baseline (the Hampel
+    rationale applied to the seasonal fit).
+
     Returns the input columns + ``phase``, ``profile``, ``residual``."""
     phase = F.extract(F.lit(period_expr), F.col(ts_col)).cast("int").alias("phase")
     d = df.withColumn("phase", phase)
-    prof = d.groupBy(*keys, "phase").agg(F.avg(val_col).alias("profile"))
+    agg = (
+        F.expr(f"percentile(`{val_col}`, 0.5)") if robust else F.avg(val_col)
+    ).alias("profile")
+    prof = d.groupBy(*keys, "phase").agg(agg)
     return fit_join(d, prof, [*keys, "phase"], "inner").withColumn(
         "residual", F.col(val_col) - F.col("profile")
     )

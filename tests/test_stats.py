@@ -545,3 +545,34 @@ def test_hampel_filter_vs_python(spark):
     c = got[got.key == "c"]
     assert (c.mad == 0).all() and c.robust_z.isna().all()
     assert not c.is_outlier.any()
+
+
+def test_seasonal_profile_robust_median_mode(spark):
+    """robust=True swaps the phase mean for the exact median: a planted
+    outlier day drags the mean profile but not the median one."""
+    import datetime as dt
+
+    from mtsad_spark.operators.stats import seasonal_profile_residual
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for day in range(5):
+        for hour in (3, 9):
+            v = 100 + hour
+            if day == 4 and hour == 3:
+                v = 100_000  # outlier day at phase 3
+            rows.append(("k", t0 + dt.timedelta(days=day, hours=hour), v))
+    df = spark.createDataFrame(rows, "key string, ts timestamp, v long")
+    robust = (
+        seasonal_profile_residual(df, ["key"], "ts", "v", "hour", robust=True)
+        .toPandas().set_index(["ts"]).sort_index()
+    )
+    mean = (
+        seasonal_profile_residual(df, ["key"], "ts", "v", "hour")
+        .toPandas().set_index(["ts"]).sort_index()
+    )
+    p3_robust = robust[robust.phase == 3].profile.iloc[0]
+    p3_mean = mean[mean.phase == 3].profile.iloc[0]
+    assert p3_robust == 103.0  # median of [103,103,103,103,100000]
+    assert p3_mean > 10_000    # mean dragged by the outlier
+    assert (robust[robust.phase == 9].profile == 109.0).all()
