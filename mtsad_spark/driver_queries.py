@@ -5540,6 +5540,63 @@ def bigram_pmi_top_seqfix(spark, sf_dir):
     return bigram_pmi(seq, "source", "tokens", min_count=5, top_k=20)
 
 
+def _pack_windows_sql(capacity: int = 2048) -> str:
+    from mtsad_spark.fixture_cache import SEQFIX_PATH
+
+    return f"""
+    WITH d AS (SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n,
+                      CAST('0x' || substr(md5('42|' || doc_id), 1, 15) AS BIGINT) AS ord
+               FROM '{SEQFIX_PATH}' WHERE n_tok > 0),
+    p AS (SELECT *, CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY ord
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                 AS strt
+          FROM d),
+    s AS (SELECT source, doc_id, n, strt, CAST(w AS BIGINT) AS window_id
+          FROM p, unnest(generate_series(strt // {capacity},
+                                         (strt + n - 1) // {capacity})) AS t(w))
+    SELECT source, doc_id, window_id,
+           CAST(GREATEST(0, window_id * {capacity} - strt) AS BIGINT) AS off_start,
+           CAST(LEAST(n, (window_id + 1) * {capacity} - strt) AS BIGINT) AS off_end,
+           CAST(LEAST(n, (window_id + 1) * {capacity} - strt)
+                - GREATEST(0, window_id * {capacity} - strt) AS BIGINT) AS n_in_window,
+           CAST(GREATEST(0, strt - window_id * {capacity}) AS BIGINT) AS pos_in_window
+    FROM s
+    """
+
+
+@_q("pack_windows_seqfix", _pack_windows_sql())
+def pack_windows_seqfix(spark, sf_dir):
+    """GPT-style training-window packing of the tokenized corpus
+    (operators/prefix.pack_training_windows): per source, documents
+    concatenate in portable md5 hash order and split every 2048 tokens —
+    one row per (document, window) overlap with exact in-document offsets,
+    so boundary-straddling documents are split, not truncated. Pure
+    integer prefix-sum algebra (per-(key, coarse-bucket) composition, no
+    bare-key raw-row window), bitwise cross-engine."""
+    from mtsad_spark.fixture_cache import ensure_seqfix
+    from mtsad_spark.operators.prefix import pack_training_windows
+
+    seq = spark.read.parquet(ensure_seqfix()).select(
+        "source",
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("42|"), F.col("doc_id"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("ord"),
+    )
+    out = pack_training_windows(
+        seq, ["source"], "ord", "n", 2048, coarse_width=float(2**50)
+    )
+    return out.select(
+        "source", "doc_id", "window_id",
+        "off_start", "off_end", "n_in_window", "pos_in_window",
+    )
+
+
 @_q(
     "seasonal_median_residual_1h",
     _HOURLY_LOAD_CTE
@@ -6071,6 +6128,7 @@ _PRIORITY = [
     "rollup_multi_1h",
     "cusum_alarm_onsets_1h",
     "seasonal_median_residual_1h",
+    "pack_windows_seqfix",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",

@@ -145,3 +145,63 @@ def concurrency_curve(
         deltas, keys, "bucket_ts", "delta", coarse_width, out_col="concurrent"
     )
     return out.select(*keys, "bucket_ts", "delta", "concurrent")
+
+
+def pack_training_windows(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    len_col: str,
+    capacity: int,
+    coarse_width: float = 3600.0,
+) -> DataFrame:
+    """Fixed-capacity TRAINING-WINDOW layout of variable-length sequences —
+    the GPT-style packing step: concatenate documents in ``order_col``
+    order per key and split the stream every ``capacity`` tokens, emitting
+    one row per (sequence, window) OVERLAP with in-document offsets, so a
+    document that straddles a boundary contributes a span row to each
+    window it touches (no truncation, no padding accounting lost).
+
+    Pure prefix-sum algebra over :func:`keyed_prefix_sum` (per-(key,
+    coarse-bucket) composition — no bare-key window over raw rows):
+    with ``start`` the exclusive prefix length, a sequence spans windows
+    ``start div C .. (start+len−1) div C``; its slice in window w is
+    ``[max(0, w·C − start), min(len, (w+1)·C − start))`` and lands at
+    in-window position ``max(0, start − w·C)``. All integers — exact,
+    deterministic, partitioning-invariant.
+
+    Returns the input plus ``window_id``, ``off_start``/``off_end``
+    (in-sequence token slice, end-exclusive), ``n_in_window`` and
+    ``pos_in_window``. Rows with ``len_col <= 0`` are dropped (they occupy
+    no tokens).
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    out = keyed_prefix_sum(
+        df.filter(F.col(len_col) > 0), keys, order_col, len_col,
+        coarse_width, out_col="_incl",
+    )
+    out = out.withColumn("_start", F.col("_incl") - F.col(len_col))
+    C = int(capacity)
+    spans = out.withColumn(
+        "window_id",
+        F.explode(
+            F.expr(f"sequence(_start div {C}, (_start + {len_col} - 1) div {C})")
+        ),
+    )
+    w0 = F.col("window_id") * C
+    return (
+        spans.withColumn(
+            "off_start", F.greatest(F.lit(0).cast("long"), w0 - F.col("_start"))
+        )
+        .withColumn(
+            "off_end",
+            F.least(F.col(len_col).cast("long"), w0 + C - F.col("_start")),
+        )
+        .withColumn("n_in_window", F.col("off_end") - F.col("off_start"))
+        .withColumn(
+            "pos_in_window",
+            F.greatest(F.lit(0).cast("long"), F.col("_start") - w0),
+        )
+        .drop("_incl", "_start")
+    )

@@ -137,3 +137,66 @@ def test_concurrency_curve_vs_python(spark):
         .reset_index(drop=True)
     )
     assert (got2.concurrent.values == got.concurrent.values).all()
+
+
+def test_pack_training_windows_vs_python(spark):
+    """Window spans must equal a python replay of the concat-and-split
+    layout: per key, slices tile each window exactly (Σ n_in_window = C for
+    every full window), boundary docs split with correct offsets, and the
+    layout is partitioning-invariant."""
+    import numpy as np
+
+    from mtsad_spark.operators.prefix import pack_training_windows
+
+    rng = np.random.default_rng(47)
+    rows = []
+    for k in ("a", "b"):
+        for i in range(200):
+            rows.append((k, int(rng.integers(0, 2**40)), "%s-%04d" % (k, i),
+                         int(rng.integers(1, 90))))
+    rows.append(("a", 2**41, "a-zero", 0))  # zero-length: must vanish
+    df = spark.createDataFrame(rows, "key string, ord long, doc_id string, n long")
+    C = 128
+    got = (
+        pack_training_windows(df, ["key"], "ord", "n", C, coarse_width=2**34)
+        .toPandas()
+        .sort_values(["key", "window_id", "pos_in_window"])
+        .reset_index(drop=True)
+    )
+    assert "a-zero" not in set(got.doc_id)
+
+    def py_layout(k):
+        docs = sorted([r for r in rows if r[0] == k and r[3] > 0], key=lambda r: (r[1], r[2]))
+        out, start = [], 0
+        for _, _, d, n in docs:
+            for w in range(start // C, (start + n - 1) // C + 1):
+                o0 = max(0, w * C - start)
+                o1 = min(n, (w + 1) * C - start)
+                out.append((w, d, o0, o1, o1 - o0, max(0, start - w * C)))
+            start += n
+        return out
+
+    for k in ("a", "b"):
+        sub = got[got.key == k]
+        want = sorted(py_layout(k), key=lambda t: (t[0], t[5]))
+        assert (
+            list(zip(sub.window_id, sub.doc_id, sub.off_start, sub.off_end,
+                     sub.n_in_window, sub.pos_in_window))
+            == want
+        ), k
+        # full windows tile exactly to capacity
+        tot = sum(r[3] for r in rows if r[0] == k)
+        fill = sub.groupby("window_id").n_in_window.sum()
+        assert (fill.iloc[:-1] == C).all() and fill.sum() == tot
+
+    got2 = (
+        pack_training_windows(
+            df.repartition(13), ["key"], "ord", "n", C, coarse_width=2**34
+        )
+        .toPandas()
+        .sort_values(["key", "window_id", "pos_in_window"])
+        .reset_index(drop=True)
+    )
+    assert (got2[got.columns].values == got.values).all()
+    with pytest.raises(ValueError):
+        pack_training_windows(df, ["key"], "ord", "n", 0)
