@@ -4019,7 +4019,7 @@ def histogram_quantile_p95_1h(spark, sf_dir):
     WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
                           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
                    FROM events GROUP BY 1, 2),
-         fit AS (SELECT event_type, CAST(FLOOR(avg(load)) AS BIGINT) AS k
+         fit AS (SELECT event_type, CAST(sum(load) // count(*) AS BIGINT) AS k
                  FROM hload GROUP BY 1),
          d AS (SELECT h.event_type, h.bucket_ts, h.load, h.load - f.k AS dev
                FROM hload h JOIN fit f ON h.event_type = f.event_type),
@@ -4053,7 +4053,9 @@ def cusum_scores_1h(spark, sf_dir):
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(F.sum(cents).alias("load"))
     fit = hload.groupBy("event_type").agg(
-        F.floor(F.avg("load")).cast("long").alias("k")
+        # exact BIGINT floor-mean (sum div count) — F.avg accumulates in
+        # DOUBLE and goes shuffle-order-dependent past 2^53 (code-review r6)
+        F.expr("sum(load) div count(load)").cast("long").alias("k")
     )
     d = fit_join(hload, fit, ["event_type"], "inner").withColumn(
         "dev", F.col("load") - F.col("k")
@@ -5635,7 +5637,7 @@ def seasonal_median_residual_1h(spark, sf_dir):
     WITH hload AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
                           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS load
                    FROM events GROUP BY 1, 2),
-         fit AS (SELECT event_type, CAST(FLOOR(avg(load)) AS BIGINT) AS k
+         fit AS (SELECT event_type, CAST(sum(load) // count(*) AS BIGINT) AS k
                  FROM hload GROUP BY 1),
          d AS (SELECT h.event_type, h.bucket_ts, h.load, f.k, h.load - f.k AS dev
                FROM hload h JOIN fit f USING (event_type)),
@@ -5684,7 +5686,9 @@ def cusum_alarm_onsets_1h(spark, sf_dir):
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
     ).agg(F.sum(cents).alias("load"))
     fit = hload.groupBy("event_type").agg(
-        F.floor(F.avg("load")).cast("long").alias("k")
+        # exact BIGINT floor-mean (sum div count) — F.avg accumulates in
+        # DOUBLE and goes shuffle-order-dependent past 2^53 (code-review r6)
+        F.expr("sum(load) div count(load)").cast("long").alias("k")
     )
     d = fit_join(hload, fit, ["event_type"], "inner").withColumn(
         "dev", F.col("load") - F.col("k")
@@ -5739,7 +5743,7 @@ def cusum_alarm_onsets_1h(spark, sf_dir):
 )
 def rollup_multi_1h(spark, sf_dir):
     """Multi-metric rollup (operators/rollup.rollup_partials_multi →
-    reaggregate_multi): TWO measures (value cents + props byte length) in
+    reaggregate_multi): TWO measures (value cents + props character length) in
     ONE scan and ONE shuffle, composed 1m→1h as a pure partial merge — M
     single-metric rollups would cost M raw scans, the dominant cost at the
     100 TB design point. All partials LONG; oracle replays the same

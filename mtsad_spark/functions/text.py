@@ -251,11 +251,10 @@ def token_distribution_drift(
     """
     if vocab < 1:
         raise ValueError(f"vocab must be >= 1, got {vocab}")
-    w = F.lit(int(bucket_width_s)).cast("long")
-    bucket = (
-        (F.col(ts_col).cast("timestamp").cast("long") / w).cast("long") * w
-    ).cast("timestamp")
-    tok = df.select(bucket.alias("bucket_ts"), F.explode(tokens_col).alias("token"))
+    tok = df.select(
+        _time_bucket(ts_col, bucket_width_s).alias("bucket_ts"),
+        F.explode(tokens_col).alias("token"),
+    )
     cnts = tok.groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
     return token_drift_from_counts(cnts, bucket_width_s, vocab)
 
@@ -622,11 +621,14 @@ def bigram_pmi(
 
 
 def _time_bucket(ts_col: str, bucket_width_s: int) -> Column:
-    """Epoch-floored naive bucket timestamp (the token_distribution_drift
-    convention — DuckDB twin: make_timestamp((epoch//w)*w * 1e6))."""
+    """Epoch-FLOORED naive bucket timestamp — the one definition the
+    token time-bucket family shares (DuckDB twin: make_timestamp(
+    (epoch // w) * w * 1e6)). F.floor, not a double-divide truncating
+    cast: cast-to-long truncates toward zero, which mis-buckets pre-1970
+    timestamps relative to DuckDB's // floor (code-review r6)."""
     w = F.lit(int(bucket_width_s)).cast("long")
     return (
-        (F.col(ts_col).cast("timestamp").cast("long") / w).cast("long") * w
+        F.floor(F.col(ts_col).cast("timestamp").cast("long") / w).cast("long") * w
     ).cast("timestamp")
 
 

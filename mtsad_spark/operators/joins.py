@@ -91,12 +91,15 @@ def asof_join(
     ltypes = dict(left.dtypes)
     lts_dtype = ltypes[left_ts]
     rts_dtype = dict(right.dtypes)[right_ts]
-    rv_type = StructType(
-        # matched-right-ts field rides inside the value struct so the
-        # tolerance bound can be applied after the carry/resolve
+    # matched-right-ts field rides inside the value struct ONLY when a
+    # tolerance must be applied after the carry/resolve — no-tolerance
+    # callers keep their original (narrower) shuffle/cache rows
+    mt_fields = (
         [StructField("_asof_mt", right.schema[right_ts].dataType)]
-        + [right.schema[c] for c in right_cols]
+        if tolerance is not None
+        else []
     )
+    rv_type = StructType(mt_fields + [right.schema[c] for c in right_cols])
     # SQL join semantics: NULL keys/timestamps never match. Left rows with a
     # null key or null ts bypass the machinery and come back with null right
     # columns (ASOF LEFT JOIN keeps them); right rows with nulls can match
@@ -120,7 +123,7 @@ def asof_join(
         F.col(right_ts).alias("_asof_ts"),
         F.lit(0).alias("_asof_side"),
         F.struct(
-            F.col(right_ts).alias("_asof_mt"),
+            *([F.col(right_ts).alias("_asof_mt")] if tolerance is not None else []),
             *[F.col(c).alias(c) for c in right_cols],
         ).alias("_asof_rv"),
     )

@@ -122,13 +122,15 @@ def concurrency_curve(
     """
     keys = keys or []
     w = int(bucket_width_s)
+    # F.floor, not a truncating cast: matches DuckDB's // for pre-1970
+    # timestamps too (the functions/text._time_bucket rule; code-review r6)
     b_start = (
-        (F.col(start_col).cast("timestamp").cast("long") / F.lit(w)).cast("long")
-        * w
+        F.floor(F.col(start_col).cast("timestamp").cast("long") / F.lit(w))
+        .cast("long") * w
     ).cast("timestamp")
     b_end = (
-        (F.col(end_col).cast("timestamp").cast("long") / F.lit(w)).cast("long") * w
-        + F.lit(w)
+        F.floor(F.col(end_col).cast("timestamp").cast("long") / F.lit(w))
+        .cast("long") * w + F.lit(w)
     ).cast("timestamp")
     starts = df.select(*keys, b_start.alias("bucket_ts")).withColumn(
         "_d", F.lit(1).cast("long")
@@ -186,7 +188,9 @@ def pack_training_windows(
     spans = out.withColumn(
         "window_id",
         F.explode(
-            F.expr(f"sequence(_start div {C}, (_start + {len_col} - 1) div {C})")
+            F.expr(
+                f"sequence(_start div {C}, (_start + `{len_col}` - 1) div {C})"
+            )
         ),
     )
     w0 = F.col("window_id") * C
