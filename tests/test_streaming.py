@@ -577,3 +577,55 @@ def test_streaming_token_drift_matches_batch(spark, tmp_path):
         for r in token_distribution_drift(docs, "ts", "tokens", 600, V).collect()
     }
     assert got == want and len(got) == 2  # bitwise stream ≡ batch
+
+
+def test_streamed_store_feeds_robust_scorer_bitwise(spark, tmp_path):
+    """North-star composition: micro-batches maintain the STORED tier
+    tables (foreachBatch continuous aggregate), and the robust scorer
+    consuming the stored 1h tier must be BITWISE equal to the same scorer
+    over a one-shot batch rollup of the identical rows — the
+    tiers-feed-scorers contract that makes the stored path a drop-in."""
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.operators.stats import hampel_filter
+    from mtsad_spark.plans.continuous import ContinuousAggregate
+    from mtsad_spark.streaming.continuous_stream import StreamingContinuousAggregate
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("cents", F.round(F.col("value") * 100, 0).cast("long"))
+        .select("event_type", "ts", "cents")
+    )
+    agg = ContinuousAggregate(
+        spark, str(tmp_path / "store"), ["event_type"], "ts", "cents"
+    )
+    sink = StreamingContinuousAggregate(agg, checkpoint=str(tmp_path / "ck"))
+    b1 = ev.filter(F.abs(F.hash("ts")) % 3 != 0)
+    b2 = ev.filter(F.abs(F.hash("ts")) % 3 == 0)
+    sink(b1, batch_id=0)
+    sink(b2, batch_id=1)
+
+    stored_1h = agg.read_partials("1h").select(
+        "event_type", "bucket_ts", F.col("s1").alias("lv")
+    )
+    scored_stream = (
+        hampel_filter(stored_1h, ["event_type"], "bucket_ts", "lv", window=24)
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    batch_1h = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts")
+    ).agg(F.sum("cents").alias("lv"))
+    scored_batch = (
+        hampel_filter(batch_1h, ["event_type"], "bucket_ts", "lv", window=24)
+        .toPandas()
+        .sort_values(["event_type", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    assert len(scored_stream) == len(scored_batch) > 0
+    for c in ("lv", "n_w", "med", "mad"):
+        assert (scored_stream[c].values == scored_batch[c].values).all(), c
+    assert (
+        scored_stream.is_outlier.values == scored_batch.is_outlier.values
+    ).all()
