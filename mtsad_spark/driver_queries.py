@@ -5542,6 +5542,112 @@ def bigram_pmi_top_seqfix(spark, sf_dir):
     return bigram_pmi(seq, "source", "tokens", min_count=5, top_k=20)
 
 
+@_q(
+    "hourly_top_user_1h",
+    """
+    WITH c AS (SELECT event_type, date_trunc('hour', ts) AS b, user_id,
+                      CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY 1, 2, 3),
+    t AS (SELECT event_type, b, CAST(sum(cnt) AS BIGINT) AS tot
+          FROM c GROUP BY 1, 2),
+    r AS (SELECT *, row_number() OVER (PARTITION BY event_type, b
+                     ORDER BY cnt DESC, user_id ASC) AS rk
+          FROM c)
+    SELECT r.event_type, r.b AS bucket_ts,
+           CAST(r.user_id AS BIGINT) AS top_user,
+           CAST(r.cnt AS BIGINT) AS n_top, t.tot AS n_events,
+           CAST(r.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE) AS share
+    FROM r JOIN t USING (event_type, b) WHERE rk = 1
+    """,
+)
+def hourly_top_user_1h(spark, sf_dir):
+    """Per-bucket MODE: the dominant user per (event_type, hour) with its
+    share — deterministic tie-break (count desc, user asc) instead of the
+    engines' differing mode() tie rules; the rank runs over the
+    (type, hour, user) COUNT frame (aggregate-sized, never raw rows) and
+    share is one division of exact BIGINTs."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_ts"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.groupBy("event_type", "bucket_ts").agg(F.sum("cnt").alias("n_events"))
+    w = Window.partitionBy("event_type", "bucket_ts").orderBy(
+        F.desc("cnt"), F.asc("user_id")
+    )
+    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return r.join(t, ["event_type", "bucket_ts"]).select(
+        "event_type",
+        "bucket_ts",
+        F.col("user_id").cast("long").alias("top_user"),
+        F.col("cnt").alias("n_top"),
+        "n_events",
+        (F.col("cnt").cast("double") / F.col("n_events").cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@_q(
+    "session_coverage_1d",
+    """
+    WITH g AS (SELECT user_id, ts, event_id,
+                      CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                           OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (SELECT user_id, ts,
+                    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM g),
+    iv AS (SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+                  CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+           FROM sess GROUP BY user_id, sid
+           HAVING CAST(floor(epoch(max(ts))) AS BIGINT)
+                  > CAST(floor(epoch(min(ts))) AS BIGINT)),
+    seg AS (SELECT user_id, CAST(d AS BIGINT) AS d,
+                   GREATEST(s, d * 86400) AS ss, LEAST(e, (d + 1) * 86400) AS se
+            FROM iv, unnest(generate_series(s // 86400, (e - 1) // 86400)) AS t(d)),
+    isl AS (SELECT *, CASE WHEN max(se) OVER wp IS NULL OR ss > max(se) OVER wp
+                           THEN 1 ELSE 0 END AS ni
+            FROM seg WINDOW wp AS (PARTITION BY user_id, d ORDER BY ss, se
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    ii AS (SELECT *, sum(ni) OVER (PARTITION BY user_id, d ORDER BY ss, se
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+           FROM isl),
+    pi AS (SELECT user_id, d, isl_id, CAST(max(se) - min(ss) AS BIGINT) AS len,
+                  CAST(count(*) AS BIGINT) AS nseg
+           FROM ii GROUP BY 1, 2, 3)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           make_timestamp(d * 86400 * 1000000) AS day_ts,
+           CAST(sum(len) AS BIGINT) AS covered_s,
+           CAST(sum(nseg) AS BIGINT) AS n_intervals,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(len) AS DOUBLE) / 86400.0 AS utilization
+    FROM pi GROUP BY 1, 2
+    """,
+)
+def session_coverage_1d(spark, sf_dir):
+    """Active-session UPTIME per (user, day) — union-of-intervals coverage
+    (operators/prefix.interval_coverage): session [first_ts, last_ts)
+    intervals merge without double-counting overlaps, split exactly at
+    midnight, all LONG seconds; one division for utilization. The
+    TimescaleDB state_agg/uptime question over the engine's own
+    sessionization; single-event sessions (zero length) drop."""
+    from mtsad_spark.operators.prefix import interval_coverage
+
+    sess = (
+        _with_session_ids(_t(spark, sf_dir, "events"))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("st"), F.max("ts").alias("en"))
+    )
+    out = interval_coverage(sess, ["user_id"], "st", "en")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "day_ts", "covered_s", "n_intervals", "n_islands", "utilization",
+    )
+
+
 def _pack_windows_sql(capacity: int = 2048) -> str:
     from mtsad_spark.fixture_cache import SEQFIX_PATH
 
@@ -6133,6 +6239,8 @@ _PRIORITY = [
     "cusum_alarm_onsets_1h",
     "seasonal_median_residual_1h",
     "pack_windows_seqfix",
+    "hourly_top_user_1h",
+    "session_coverage_1d",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",

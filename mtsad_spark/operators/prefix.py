@@ -209,3 +209,74 @@ def pack_training_windows(
         )
         .drop("_incl", "_start")
     )
+
+
+def interval_coverage(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per (keys, calendar day) — "how many
+    seconds of each day had at least one active interval" (the
+    TimescaleDB ``state_agg``/uptime question; overlapping intervals must
+    not double-count, which a plain duration sum gets wrong).
+
+    EXACT integer algebra: interval [start, end) in epoch seconds is
+    clipped to each day it touches (a bounded explode —
+    ``days_spanned ≤ duration/86400 + 1``), then per (keys, day) the
+    clipped segments merge gaps-and-islands style: a segment opens a new
+    island iff its start lies strictly past the running max of prior ends
+    (touching segments merge); covered seconds = Σ islands
+    (max_end − min_start). All LONGs, ONE ratio division for utilization.
+
+    Scale shape: the only windows are per (keys, day) over SEGMENT rows —
+    the (key, coarse-bucket) discipline; a year-long key spreads across
+    365 independent day partitions. Zero/negative-length intervals are
+    dropped. Returns ``(keys..., day_ts, covered_s, n_intervals,
+    n_islands, utilization)``.
+    """
+    s = F.col(start_col).cast("timestamp").cast("long")
+    e = F.col(end_col).cast("timestamp").cast("long")
+    d = (
+        df.withColumn("_s", s)
+        .withColumn("_e", e)
+        .filter(F.col("_e") > F.col("_s"))
+        .withColumn(
+            "_day",
+            F.explode(F.expr("sequence(_s div 86400, (_e - 1) div 86400)")),
+        )
+        .withColumn("_ss", F.greatest(F.col("_s"), F.col("_day") * 86400))
+        .withColumn("_se", F.least(F.col("_e"), (F.col("_day") + 1) * 86400))
+    )
+    w = Window.partitionBy(*keys, "_day").orderBy("_ss", "_se")
+    run_prev = F.max("_se").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        run_prev.isNull() | (F.col("_ss") > run_prev), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    isl = d.withColumn("_n", new_island).withColumn(
+        "_isl", F.sum("_n").over(cum)
+    )
+    per_island = isl.groupBy(*keys, "_day", "_isl").agg(
+        (F.max("_se") - F.min("_ss")).alias("_len"),
+        F.count(F.lit(1)).alias("_n_seg"),
+    )
+    return (
+        per_island.groupBy(*keys, "_day")
+        .agg(
+            F.sum("_len").alias("covered_s"),
+            F.sum("_n_seg").alias("n_intervals"),
+            F.count(F.lit(1)).alias("n_islands"),
+        )
+        .select(
+            *keys,
+            (F.col("_day") * 86400).cast("timestamp").alias("day_ts"),
+            "covered_s",
+            "n_intervals",
+            "n_islands",
+            (F.col("covered_s").cast("double") / F.lit(86400.0)).alias(
+                "utilization"
+            ),
+        )
+    )

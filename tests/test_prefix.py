@@ -200,3 +200,67 @@ def test_pack_training_windows_vs_python(spark):
     assert (got2[got.columns].values == got.values).all()
     with pytest.raises(ValueError):
         pack_training_windows(df, ["key"], "ord", "n", 0)
+
+
+def test_interval_coverage_vs_python_sweep(spark):
+    """Union-length per (key, day) must equal a python sweep-line over the
+    same intervals: overlaps never double-count, touching segments merge,
+    midnight-straddling intervals split across days, zero-length drop."""
+    import datetime as dt
+
+    from mtsad_spark.operators.prefix import interval_coverage
+
+    t0 = dt.datetime(2024, 1, 1)
+    iv = [
+        # key a, day 0: [0,600) and [300,900) overlap -> 900s one island
+        ("a", 0, 600), ("a", 300, 900),
+        # touching [1000,1100)+[1100,1200) merge -> 200s, same island
+        ("a", 1000, 1100), ("a", 1100, 1200),
+        # disjoint later -> second/third island
+        ("a", 5000, 5600),
+        # straddles midnight: 23:58 -> 00:03 next day
+        ("a", 86_280, 86_580),
+        ("a", 4000, 4000),  # zero-length: dropped
+        ("b", 100, 200),
+    ]
+    rows = [
+        (k, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=e))
+        for k, s, e in iv
+    ]
+    df = spark.createDataFrame(rows, "key string, st timestamp, en timestamp")
+    got = (
+        interval_coverage(df, ["key"], "st", "en")
+        .toPandas()
+        .sort_values(["key", "day_ts"])
+        .reset_index(drop=True)
+    )
+
+    def py_cov(segs):
+        segs = sorted(segs)
+        out, cur_s, cur_e = 0, None, None
+        islands = 0
+        for s, e in segs:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    out += cur_e - cur_s
+                cur_s, cur_e = s, e
+                islands += 1
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            out += cur_e - cur_s
+        return out, islands
+
+    a0 = got[(got.key == "a") & (got.day_ts == t0)]
+    want_cov, want_isl = py_cov(
+        [(0, 600), (300, 900), (1000, 1100), (1100, 1200), (5000, 5600),
+         (86_280, 86_400)]
+    )
+    assert a0.covered_s.iloc[0] == want_cov == 900 + 200 + 600 + 120
+    assert a0.n_islands.iloc[0] == want_isl == 4
+    assert a0.n_intervals.iloc[0] == 6
+    a1 = got[(got.key == "a") & (got.day_ts == t0 + dt.timedelta(days=1))]
+    assert a1.covered_s.iloc[0] == 180 and a1.n_islands.iloc[0] == 1
+    b = got[got.key == "b"]
+    assert b.covered_s.iloc[0] == 100 and b.utilization.iloc[0] == 100 / 86400.0
+    assert len(got) == 3  # zero-length interval contributed nothing
