@@ -5572,12 +5572,16 @@ def hourly_top_user_1h(spark, sf_dir):
     c = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("bucket_ts"), "user_id"
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    t = c.groupBy("event_type", "bucket_ts").agg(F.sum("cnt").alias("n_events"))
-    w = Window.partitionBy("event_type", "bucket_ts").orderBy(
-        F.desc("cnt"), F.asc("user_id")
+    # totals as a window sum over the SAME aggregate frame — one events
+    # scan, no self-join (code-review r6: the join form scanned twice)
+    wtot = Window.partitionBy("event_type", "bucket_ts")
+    w = wtot.orderBy(F.desc("cnt"), F.asc("user_id"))
+    r = (
+        c.withColumn("n_events", F.sum("cnt").over(wtot))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
     )
-    r = c.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
-    return r.join(t, ["event_type", "bucket_ts"]).select(
+    return r.select(
         "event_type",
         "bucket_ts",
         F.col("user_id").cast("long").alias("top_user"),

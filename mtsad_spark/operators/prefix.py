@@ -244,7 +244,15 @@ def interval_coverage(
         .filter(F.col("_e") > F.col("_s"))
         .withColumn(
             "_day",
-            F.explode(F.expr("sequence(_s div 86400, (_e - 1) div 86400)")),
+            # FLOOR division via pmod — Spark's `div` truncates toward zero
+            # and would mis-bucket pre-1970 intervals vs DuckDB's // floor
+            # (code-review r6)
+            F.explode(
+                F.expr(
+                    "sequence((_s - pmod(_s, 86400)) div 86400, "
+                    "((_e - 1) - pmod(_e - 1, 86400)) div 86400)"
+                )
+            ),
         )
         .withColumn("_ss", F.greatest(F.col("_s"), F.col("_day") * 86400))
         .withColumn("_se", F.least(F.col("_e"), (F.col("_day") + 1) * 86400))

@@ -591,6 +591,26 @@ def test_r6_robust_and_corpus_ops_are_scale_clean(spark):
         [("s%d" % (i % 3), "tok%d word%d the and" % (i, i % 7)) for i in range(30)],
         "source string, text string",
     )
+    from mtsad_spark.operators.prefix import (
+        interval_coverage,
+        pack_training_windows,
+    )
+    from mtsad_spark.operators.rollup import rollup_partials_multi
+
+    iv = spark.createDataFrame(
+        [("u%d" % (i % 4), t0 + dt.timedelta(minutes=9 * i),
+          t0 + dt.timedelta(minutes=9 * i + 5)) for i in range(20)],
+        "key string, st timestamp, en timestamp",
+    )
+    packin = spark.createDataFrame(
+        [("s%d" % (i % 3), i * 1000, "d%d" % i, 10 + i) for i in range(20)],
+        "key string, ord long, doc_id string, n long",
+    )
+    ev2 = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(minutes=i), 100 + i, 3 + i % 5)
+         for i in range(60)],
+        "key string, ts timestamp, m1 long, m2 long",
+    )
     frames = [
         rolling_median(tier, ["key"], "ts", "v", 5),
         hampel_filter(tier, ["key"], "ts", "v", 5),
@@ -600,6 +620,9 @@ def test_r6_robust_and_corpus_ops_are_scale_clean(spark):
         source_ngram_jaccard(seq, "source", "tokens", n=2),
         token_novelty(seq, "ts", "tokens", 900),
         token_bucket_entropy(seq, "ts", "tokens", 900),
+        interval_coverage(iv, ["key"], "st", "en"),
+        pack_training_windows(packin, ["key"], "ord", "n", 64, coarse_width=4000),
+        rollup_partials_multi(ev2, "ts", ["m1", "m2"], ["key"], "1m"),
     ]
     for i, f in enumerate(frames):
         p = plan_of(f)

@@ -264,3 +264,20 @@ def test_interval_coverage_vs_python_sweep(spark):
     b = got[got.key == "b"]
     assert b.covered_s.iloc[0] == 100 and b.utilization.iloc[0] == 100 / 86400.0
     assert len(got) == 3  # zero-length interval contributed nothing
+
+    # pre-epoch straddle: day bucketing must FLOOR (negative epochs), not
+    # truncate toward zero (code-review r6)
+    pre = spark.createDataFrame(
+        [("p", dt.datetime(1969, 12, 31, 23, 59, 50),
+          dt.datetime(1970, 1, 1, 0, 0, 5))],
+        "key string, st timestamp, en timestamp",
+    )
+    gp = (
+        interval_coverage(pre, ["key"], "st", "en")
+        .toPandas()
+        .sort_values("day_ts")
+        .reset_index(drop=True)
+    )
+    assert len(gp) == 2
+    assert list(gp.covered_s) == [10, 5]
+    assert gp.day_ts.iloc[0] == dt.datetime(1969, 12, 31)
