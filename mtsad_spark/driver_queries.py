@@ -1292,6 +1292,105 @@ def near_dup_groups_docs(spark, sf_dir):
     return dup_groups(_jaccard_pairs_df(spark, sf_dir))
 
 
+@_q(
+    "dup_group_size_hist_docs",
+    "WITH RECURSIVE " + _JACCARD_PAIRS_CTE
+    + """,
+    e AS (SELECT id_a AS a, id_b AS b FROM jp
+          UNION SELECT id_b, id_a FROM jp),
+    ids AS (SELECT DISTINCT a AS id FROM e),
+    reach(id, r) AS (
+        SELECT id, id FROM ids
+        UNION
+        SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a
+    ),
+    grp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY 1),
+    sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size
+           FROM grp GROUP BY 1)
+    SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(group_size) AS BIGINT) AS n_docs,
+           CAST(sum(group_size - 1) AS BIGINT) AS n_removable
+    FROM sz GROUP BY 1
+    """,
+)
+def dup_group_size_hist_docs(spark, sf_dir):
+    """Duplicate-cluster size distribution — the dedup-quality report a
+    pipeline reads before committing a survivor policy: per group size,
+    how many clusters, how many docs they hold, and how many rows a
+    keep-one policy removes. Composes dedup.dup_groups (min-label
+    connected components) with a count-frame histogram; all BIGINTs."""
+    from mtsad_spark.operators.dedup import dup_groups
+
+    g = dup_groups(_jaccard_pairs_df(spark, sf_dir))
+    sz = g.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return sz.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+        F.sum(F.col("group_size") - 1).alias("n_removable"),
+    )
+
+
+@_q(
+    "funnel_timeout_conversion_1d",
+    """
+    WITH ue AS (SELECT user_id, ts, event_type FROM events
+                WHERE event_type IN ('view', 'purchase')),
+    nx AS (SELECT user_id, ts, event_type,
+                  min(CASE WHEN event_type = 'purchase' THEN ts END)
+                    OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS next_p
+           FROM ue),
+    v AS (SELECT date_trunc('day', ts) AS day_ts,
+                 CASE WHEN next_p IS NOT NULL
+                      AND next_p <= ts + INTERVAL 24 HOUR THEN 1 ELSE 0 END AS conv
+          FROM nx WHERE event_type = 'view')
+    SELECT day_ts, CAST(count(*) AS BIGINT) AS n_views,
+           CAST(sum(conv) AS BIGINT) AS n_converted,
+           CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS cvr
+    FROM v GROUP BY 1
+    """,
+)
+def funnel_timeout_conversion_1d(spark, sf_dir):
+    """Timeout-bounded funnel conversion: of each day's 'view' events, the
+    share whose SAME USER purchases within 24h — the time-bounded variant
+    of the ordered funnel (industry-standard conversion-window semantics).
+    The next-purchase timestamp is a reverse running min per user (the
+    sessionize-style per-user window over its two event types only); cvr
+    is ONE division of exact BIGINTs."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    nx = ev.withColumn(
+        "next_p",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).over(w),
+    )
+    v = nx.filter(F.col("event_type") == "view").select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.when(
+            F.col("next_p").isNotNull()
+            & (F.col("next_p") <= F.col("ts") + F.expr("INTERVAL 24 HOURS")),
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    return v.groupBy("day_ts").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.sum("conv").alias("n_converted"),
+        (
+            F.sum("conv").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("cvr"),
+    )
+
+
 _SH60_BITS = 60
 _SH60_SQL = (
     r"WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok"
@@ -6245,6 +6344,8 @@ _PRIORITY = [
     "pack_windows_seqfix",
     "hourly_top_user_1h",
     "session_coverage_1d",
+    "dup_group_size_hist_docs",
+    "funnel_timeout_conversion_1d",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",
