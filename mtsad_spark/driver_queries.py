@@ -5971,6 +5971,90 @@ def rollup_multi_1h(spark, sf_dir):
     return reaggregate_multi(m, ["cents", "plen"], ["event_type"], "1h")
 
 
+@_q(
+    "share_of_day_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    SELECT event_type, bucket_ts, lv,
+           CAST(sum(lv) OVER w AS BIGINT) AS day_total,
+           CAST(lv AS DOUBLE) / CAST(sum(lv) OVER w AS DOUBLE) AS share
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type, date_trunc('day', bucket_ts))
+    """,
+)
+def share_of_day_1h(spark, sf_dir):
+    """Each hour's share of its day's total load per type — percent-of-
+    total normalization as a WINDOW SUM over the hourly aggregate frame
+    (one scan, no self-join — the hourly_top_user_1h lesson); exact cents,
+    ONE division."""
+    from pyspark.sql import Window
+
+    h = _hourly_load_df(spark, sf_dir)
+    w = Window.partitionBy("event_type", F.date_trunc("day", "bucket_ts"))
+    return h.select(
+        "event_type",
+        "bucket_ts",
+        "lv",
+        F.sum("lv").over(w).alias("day_total"),
+        (F.col("lv").cast("double") / F.sum("lv").over(w).cast("double")).alias(
+            "share"
+        ),
+    )
+
+
+@_q(
+    "gap_stats_1h",
+    _HOURLY_LOAD_CTE
+    + """
+    , sp AS (SELECT event_type, bucket_ts,
+                    CAST(floor(epoch(bucket_ts)) AS BIGINT) AS ep,
+                    lag(CAST(floor(epoch(bucket_ts)) AS BIGINT))
+                      OVER (PARTITION BY event_type ORDER BY bucket_ts) AS prev_ep
+             FROM hourly)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_observed,
+           CAST((max(ep) - min(ep)) / 3600 + 1 AS BIGINT) AS n_expected,
+           CAST((max(ep) - min(ep)) / 3600 + 1 - count(*) AS BIGINT) AS n_missing,
+           CAST(coalesce(max(CASE WHEN ep - prev_ep > 3600
+                                  THEN ep - prev_ep - 3600 END) / 3600, 0)
+                AS BIGINT) AS longest_gap_buckets
+    FROM sp GROUP BY 1
+    """,
+)
+def gap_stats_1h(spark, sf_dir):
+    """Tier completeness report per key — the data-quality summary the
+    gap-fill family acts on: observed vs expected buckets over the key's
+    [min, max] span, missing count, and the LONGEST run of absent buckets
+    (lag over tier points). All exact integers; the spine arithmetic is
+    the gapfill contract stated as a query."""
+    from pyspark.sql import Window
+
+    h = _hourly_load_df(spark, sf_dir)
+    ep = F.col("bucket_ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    sp = h.withColumn("_ep", ep).withColumn("_prev", F.lag("_ep").over(w))
+    gap = F.when(
+        F.col("_ep") - F.col("_prev") > 3600,
+        F.col("_ep") - F.col("_prev") - 3600,
+    )
+    agg = sp.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_observed"),
+        (((F.max("_ep") - F.min("_ep")) / 3600).cast("long") + 1).alias(
+            "n_expected"
+        ),
+        F.coalesce((F.max(gap) / 3600).cast("long"), F.lit(0).cast("long")).alias(
+            "longest_gap_buckets"
+        ),
+    )
+    return agg.select(
+        "event_type",
+        "n_observed",
+        "n_expected",
+        (F.col("n_expected") - F.col("n_observed")).alias("n_missing"),
+        "longest_gap_buckets",
+    )
+
+
 def _hampel_episodes_sql() -> str:
     k = 3.0 * 1.4826
     return (
@@ -6346,6 +6430,8 @@ _PRIORITY = [
     "session_coverage_1d",
     "dup_group_size_hist_docs",
     "funnel_timeout_conversion_1d",
+    "share_of_day_1h",
+    "gap_stats_1h",
     "cusum_scores_1h",
     "time_weighted_avg_1d",
     "lttb_downsample_1h",
