@@ -41,9 +41,17 @@ def with_quality_features(df: DataFrame, text_col: str) -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tokens = whitespace_token_count(t)
-    n_alpha = F.regexp_count(t, F.lit(r"[A-Za-z]"))
-    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    n_digit = F.regexp_count(t, F.lit(r"[0-9]"))
+    # single-char-class counts via translate (r7, guide §1.2 per-task work):
+    # a char-map pass is several times cheaper than the regex engine and
+    # counts the identical sets — [A-Za-z], [0-9], and [^\w\s] (Java \w is
+    # ASCII [A-Za-z0-9_], \s is [ \t\n\x0B\f\r]; a char is punct iff it is
+    # neither, i.e. whatever survives removing word + space chars).
+    _alpha = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+    _digit = "0123456789"
+    _space = " \t\n\x0b\f\r"
+    n_alpha = n_chars - F.length(F.translate(t, _alpha, ""))
+    n_punct = F.length(F.translate(t, _alpha + _digit + "_" + _space, ""))
+    n_digit = n_chars - F.length(F.translate(t, _digit, ""))
     n_stop = F.regexp_count(
         F.lower(t), F.lit(r"\b(the|and|of|to|is|in|that|it|was|for)\b")
     )

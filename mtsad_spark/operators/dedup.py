@@ -54,8 +54,43 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
     )
 
 
+def word_shingle_keys(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42
+) -> DataFrame:
+    """(id, sk) rows: the distinct word-k-gram shingles of each document as
+    their 8-byte BASE HASH ``sk = xxhash64(shingle, seed)`` — the exact value
+    :func:`minhash_signatures` derives its n hash functions from.
+
+    Scale form of :func:`word_shingles` for the hash-keyed pipeline
+    (guide §2.3 "shuffle keys instead of payloads"): the ~25-byte shingle
+    string never leaves the per-task projection — it is built, hashed inside
+    the array (``transform``), and dropped before the explode — so the
+    distinct, the persist, and every downstream signature/Jaccard shuffle
+    carry 8-byte longs instead of strings. Set semantics are identical up to
+    64-bit base-hash collisions WITHIN one document (~shingles²/2^64,
+    the same negligible collision bound the signature family already
+    documents; verified output-identical vs the string path at every SF).
+    Callers that need the string itself (md5 oracle twins) keep
+    :func:`word_shingles`.
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: F.length(x) > 0
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    keys = F.transform(
+        F.filter(sh, lambda s: F.length(s) > 0),
+        lambda s: F.xxhash64(s, F.lit(seed)),
+    )
+    return df.select(F.col(id_col), F.explode(keys).alias("sk")).distinct()
+
+
 def minhash_signatures(
-    shingled: DataFrame, id_col: str, n_hashes: int = 64, seed: int = 42
+    shingled: DataFrame,
+    id_col: str,
+    n_hashes: int = 64,
+    seed: int = 42,
+    key_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature per id: n_hashes columns of min(h_i(shingle)).
 
@@ -65,6 +100,8 @@ def minhash_signatures(
     string n times was the round-1 hot spot: string hashing is O(len) per
     eval, the derived mixes are one multiply-add each, so signature cost
     drops from 64 string hashes to 1 + 64 integer ops per shingle row.
+    ``key_col`` names a column already holding that base hash
+    (:func:`word_shingle_keys`), skipping the string hash entirely.
 
     One hash-groupBy; the n min-aggregates are algebraic (map-side combined),
     so a hot document set never concentrates on one task.
@@ -82,12 +119,50 @@ def minhash_signatures(
     # which is exactly the mod we want; ANSI mode stays off in session.py)
     a = [int(x) | 1 for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
     b = [int(x) for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
-    base = F.xxhash64(F.col("shingle"), F.lit(seed))
+    base = (
+        F.col(key_col) if key_col else F.xxhash64(F.col("shingle"), F.lit(seed))
+    )
     aggs = [
         F.min(F.lit(a[i]) * base + F.lit(b[i])).alias(f"mh_{i}")
         for i in range(n_hashes)
     ]
     return shingled.groupBy(id_col).agg(*aggs)
+
+
+def band_buckets(
+    sigs: DataFrame, id_col: str, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(id, band, bh) bucket keys: r = n_hashes/bands signature rows per
+    band, hashed to one 8-byte bucket id. Split out of
+    :func:`lsh_candidate_pairs` so callers can persist the banded frame ONCE
+    before the self-join — without that, the whole 64-min-agg signature
+    lineage is evaluated for BOTH join sides (measured ~3.8 s per extra
+    evaluation at the sf1.0 bench corpus; guide §2.4 exchange-sharing)."""
+    r = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
+    return sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
+def band_self_join(banded: DataFrame, id_col: str) -> DataFrame:
+    """Bucket-local candidate pairs from a banded frame: equi-join on
+    (band, bh) with id_a < id_b, distinct across bands — never all-pairs."""
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 def lsh_candidate_pairs(
@@ -99,39 +174,23 @@ def lsh_candidate_pairs(
     sharing any full band land in one bucket. The self-join is an equi-join on
     the bucket key — shuffle-partitioned by bucket, never all-pairs.
     """
-    r = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"mh_{b * r + j}") for j in range(r)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("bh")))
-    banded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col(f"l.band") == F.col(f"r.band"))
-            & (F.col(f"l.bh") == F.col(f"r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return band_self_join(band_buckets(sigs, id_col, n_hashes, bands), id_col)
 
 
 def jaccard_pairs(
-    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float = 0.0
+    pairs: DataFrame, shingled: DataFrame, id_col: str, threshold: float = 0.0,
+    shingle_col: str = "shingle",
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs: |A∩B| via a shingle equi-join,
     |A∪B| = |A|+|B|−|A∩B|.
 
     Both joins are equi-joins keyed by doc id then shingle — candidate-pair-
-    sized intermediates (pairs × avg shingles), never |docs|².
+    sized intermediates (pairs × avg shingles), never |docs|². ``shingle_col``
+    may name the 8-byte hashed-key form (:func:`word_shingle_keys`) so the
+    intersection join shuffles longs, not strings.
     """
-    sa = shingled.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingled.select(F.col(id_col).alias("_idb"), F.col("shingle").alias("shingle_b"))
+    sa = shingled.select(F.col(id_col).alias("id_a"), F.col(shingle_col).alias("shingle"))
+    sb = shingled.select(F.col(id_col).alias("_idb"), F.col(shingle_col).alias("shingle_b"))
     # NO broadcast hints anywhere here: on duplicate-heavy web crawls the LSH
     # candidate-pair set is O(corpus) or worse — billions of rows is not a
     # broadcast. Every hop is a shuffled hash/sort-merge equi-join; AQE still
@@ -177,18 +236,27 @@ def minhash_dedup(
     :func:`minhash_signatures`); the exact-Jaccard verify stage means any
     collision can only ADD a correct pair, never emit a wrong one.
 
-    The shingle and candidate frames are multi-consumer (signatures + both
-    sides of the Jaccard verify; pairs feed intersection AND the final join),
-    so they are persisted — without this the LSH self-join lineage is
-    re-evaluated ~5× (measured 87 s → ~8 s on 500 docs). At cluster scale
-    these persists become the pipeline's stage checkpoints.
+    The shingle, banded and candidate frames are multi-consumer (shingle keys
+    feed signatures + both sides of the Jaccard verify; the banded frame is
+    both sides of the bucket self-join; pairs feed intersection AND the final
+    join), so each is persisted — without this the LSH self-join lineage is
+    re-evaluated ~5× (measured 87 s → ~8 s on 500 docs), and the banded
+    persist alone removes a second full signature aggregation (~3.8 s at the
+    sf1.0 bench corpus). At cluster scale these persists become the
+    pipeline's stage checkpoints.
+
+    r7 optimization (guide §2.3): the pipeline runs on 8-byte shingle KEYS
+    (:func:`word_shingle_keys`) — the base xxhash64 the signature family
+    already derives from — so no shuffle in the whole pipeline carries a
+    shingle string. Output verified identical to the string form at every SF.
     """
     from mtsad_spark.plans.scope import scoped_persist
 
-    sh = scoped_persist(word_shingles(df, id_col, text_col, k))
-    sigs = minhash_signatures(sh, id_col, n_hashes)
-    cand = scoped_persist(lsh_candidate_pairs(sigs, id_col, n_hashes, bands))
-    return jaccard_pairs(cand, sh, id_col, threshold)
+    sh = scoped_persist(word_shingle_keys(df, id_col, text_col, k, seed=42))
+    sigs = minhash_signatures(sh, id_col, n_hashes, key_col="sk")
+    banded = scoped_persist(band_buckets(sigs, id_col, n_hashes, bands))
+    cand = scoped_persist(band_self_join(banded, id_col))
+    return jaccard_pairs(cand, sh, id_col, threshold, shingle_col="sk")
 
 
 def dup_groups(
@@ -266,26 +334,44 @@ def dup_groups(
 def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
-    token → xxhash64 → per-bit ±1 votes → sign of vote sum per bit →
-    assembled long. Explode + one hash-groupBy with 64 conditional-sum
-    aggregates (algebraic, skew-safe).
+    token → xxhash64 → per-bit set-counts → sign of vote sum per bit →
+    assembled long. Explode + one hash-groupBy (algebraic, skew-safe).
+
+    r7 optimization (guide §1.2 per-task work): the per-row aggregate input
+    is LANE-PACKED — 32 sums of ``(h >> j) & 0x0000000100000001`` accumulate
+    the set-bit counts of bits j and j+32 in the two 32-bit halves of one
+    long, halving the per-token aggregate expressions from 64 branchy
+    conditional sums to 32 branch-free shift-and-masks. Per-bit counts are
+    unpacked AFTER the aggregate (per document, not per token). Identical
+    signatures: the old ±1 vote sum satisfies votes_i = 2·c_i − n, so
+    ``votes_i > 0 ⟺ 2·c_i > n``. Lane capacity: exact for documents up to
+    2^31 tokens (a lane holds a count ≤ n; no carry below n = 2^32).
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
     ).filter(F.length("tok") > 0)
     h = F.xxhash64(F.col("tok"), F.lit(seed))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(64)
+    lane = (1 << 32) | 1  # selects bits j (low half) and j+32 (high half)
+    sums = [
+        F.sum(F.shiftright(h, j).bitwiseAND(F.lit(lane))).alias(f"s{j}")
+        for j in range(32)
     ]
-    agg = toks.groupBy(id_col).agg(*votes)
+    agg = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *sums)
+    n = F.col("_n")
+
+    def c(i: int) -> F.Column:  # set-bit count of bit i, unpacked from its lane
+        if i < 32:
+            return F.col(f"s{i}").bitwiseAND(F.lit((1 << 32) - 1))
+        return F.shiftrightunsigned(F.col(f"s{i - 32}"), 32)
+
     sig = None
     for i in range(64):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << i).cast("long") if i < 63 else F.when(F.col("b63") > 0, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
+        majority = (F.lit(2) * c(i)) > n  # ⟺ old vote sum 2·c_i − n > 0
+        if i < 63:
+            term = F.when(majority, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        else:
+            term = F.when(majority, F.lit(-(1 << 63)).cast("long")).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.alias("simhash"))
 

@@ -43,15 +43,22 @@ def cosine_topk_bruteforce(
     One corpus scan per ALL queries (the crossJoin is broadcast-nested-loop
     with the tiny side broadcast); ranking is a per-query window.
     """
+    # norms hoisted out of the crossJoin (r7, guide §4.1): ‖c‖ once per
+    # candidate and ‖q‖ once per query instead of once per PAIR — the
+    # higher-order-function array passes are interpreted, so this cuts the
+    # per-pair work to the dot product alone. Identical floats: the same two
+    # doubles are multiplied.
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")).withColumn(
+        "_cn", _norm(F.col("_cv"))
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     joined = c.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col("neighbor_id") != F.col("query_id"))
     sim = joined.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     )
     # rank on the 6-decimal-rounded cosine with an id tiebreak: deterministic
     # across runs, partitionings and engines (unrounded float order is
