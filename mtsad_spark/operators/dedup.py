@@ -55,34 +55,64 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Data
 
 
 def word_shingle_keys(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, seed: int = 42,
+    distinct: bool = True,
 ) -> DataFrame:
-    """(id, sk) rows: the distinct word-k-gram shingles of each document as
-    their 8-byte BASE HASH ``sk = xxhash64(shingle, seed)`` — the exact value
+    """(id, sk) rows: the word-k-gram shingles of each document as their
+    8-byte BASE HASH ``sk = xxhash64(shingle, seed)`` — the exact value
     :func:`minhash_signatures` derives its n hash functions from.
 
     Scale form of :func:`word_shingles` for the hash-keyed pipeline
     (guide §2.3 "shuffle keys instead of payloads"): the ~25-byte shingle
-    string never leaves the per-task projection — it is built, hashed inside
-    the array (``transform``), and dropped before the explode — so the
+    string never leaves the per-task projection — it is built and hashed
+    inside one array ``transform`` and dropped before the explode — so the
     distinct, the persist, and every downstream signature/Jaccard shuffle
     carry 8-byte longs instead of strings. Set semantics are identical up to
     64-bit base-hash collisions WITHIN one document (~shingles²/2^64,
     the same negligible collision bound the signature family already
     documents; verified output-identical vs the string path at every SF).
-    Callers that need the string itself (md5 oracle twins) keep
-    :func:`word_shingles`.
+    ``distinct=False`` returns the raw exploded rows for consumers whose
+    aggregation dedups anyway (min is duplicate-blind, ``collect_set``
+    dedups), skipping the distinct exchange. Callers that need the string
+    itself (md5 oracle twins) keep :func:`word_shingles`.
     """
     words = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: F.length(x) > 0
     )
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
-    keys = F.transform(
-        F.filter(sh, lambda s: F.length(s) > 0),
-        lambda s: F.xxhash64(s, F.lit(seed)),
+    # word_shingles emits "" only for empty docs and joins ALL words when
+    # 0 < size < k (slice truncates) — replicated by the CASE arms so the
+    # only array pass is the fused build+hash transform
+    keys = F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - F.lit(k)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k)), F.lit(seed)),
+        ),
+    ).otherwise(
+        F.when(
+            F.size(words) > 0,
+            F.array(F.xxhash64(F.concat_ws(" ", words), F.lit(seed))),
+        ).otherwise(F.array().cast("array<bigint>"))
     )
-    return df.select(F.col(id_col), F.explode(keys).alias("sk")).distinct()
+    out = df.select(F.col(id_col), F.explode(keys).alias("sk"))
+    return out.distinct() if distinct else out
+
+
+def _min_mix_aggs(base: F.Column, n_hashes: int, seed: int) -> list:
+    """The n seeded min-aggregates over the affine mixes of ``base``:
+    ``min(a_i·base + b_i)`` with odd multipliers — bijections mod 2^64 (Java
+    long arithmetic wraps, which is exactly the mod we want; ANSI mode stays
+    off in session.py). Shared by :func:`minhash_signatures` and the fused
+    aggregation in :func:`minhash_dedup` so the families cannot drift."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    a = [int(x) | 1 for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
+    b = [int(x) for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
+    return [
+        F.min(F.lit(a[i]) * base + F.lit(b[i])).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -112,21 +142,10 @@ def minhash_signatures(
     n independent hashes — the banding recall formula holds up to the
     negligible base-collision probability (~n_shingles²/2^64).
     """
-    import numpy as np
-
-    rng = np.random.RandomState(seed)
-    # odd multipliers → bijections mod 2^64 (Java long arithmetic wraps,
-    # which is exactly the mod we want; ANSI mode stays off in session.py)
-    a = [int(x) | 1 for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
-    b = [int(x) for x in rng.randint(1, 2**63 - 1, size=n_hashes, dtype=np.int64)]
     base = (
         F.col(key_col) if key_col else F.xxhash64(F.col("shingle"), F.lit(seed))
     )
-    aggs = [
-        F.min(F.lit(a[i]) * base + F.lit(b[i])).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
-    return shingled.groupBy(id_col).agg(*aggs)
+    return shingled.groupBy(id_col).agg(*_min_mix_aggs(base, n_hashes, seed))
 
 
 def band_buckets(
@@ -236,27 +255,55 @@ def minhash_dedup(
     :func:`minhash_signatures`); the exact-Jaccard verify stage means any
     collision can only ADD a correct pair, never emit a wrong one.
 
-    The shingle, banded and candidate frames are multi-consumer (shingle keys
-    feed signatures + both sides of the Jaccard verify; the banded frame is
-    both sides of the bucket self-join; pairs feed intersection AND the final
-    join), so each is persisted — without this the LSH self-join lineage is
-    re-evaluated ~5× (measured 87 s → ~8 s on 500 docs), and the banded
-    persist alone removes a second full signature aggregation (~3.8 s at the
-    sf1.0 bench corpus). At cluster scale these persists become the
-    pipeline's stage checkpoints.
+    r7 shape (guide §2.3/§2.4; measured 13.0 s → 3.7 s at the sf1.0 bench
+    corpus, output verified identical at every SF):
 
-    r7 optimization (guide §2.3): the pipeline runs on 8-byte shingle KEYS
-    (:func:`word_shingle_keys`) — the base xxhash64 the signature family
-    already derives from — so no shuffle in the whole pipeline carries a
-    shingle string. Output verified identical to the string form at every SF.
+    * the pipeline runs on 8-byte shingle KEYS (:func:`word_shingle_keys`) —
+      the base xxhash64 the signature family already derives from — so no
+      shuffle anywhere carries a shingle string;
+    * ONE hash-groupBy builds, per document, BOTH the 64 signature mins and
+      the distinct shingle-key set (``collect_set``); the separate distinct
+      exchange and the row-level (id, key) verify joins disappear. Per-group
+      state is one document's shingle set — bounded by document length, the
+      same per-group bound as Gorilla's per-chunk ``collect_list`` pack;
+    * the Jaccard verify is then a candidate-pair-sized join of the doc-
+      feature frame to itself with ``array_intersect`` — exact distinct-set
+      counts, identical jaccard values.
+
+    The doc-feature and candidate frames are multi-consumer (features feed
+    banding + both verify sides; pairs feed both verify joins), so each is
+    persisted — without this the LSH self-join lineage is re-evaluated ~5×
+    (measured 87 s → ~8 s on 500 docs); the band explode feeding both
+    self-join sides re-derives from the persisted features, which is
+    rollup-cheap. At cluster scale these persists become the pipeline's
+    stage checkpoints. No broadcast hints anywhere: every hop is a shuffled
+    equi-join on corpus-proportional frames; AQE may promote genuinely small
+    sides at runtime (the repo-wide dedup rule).
     """
     from mtsad_spark.plans.scope import scoped_persist
 
-    sh = scoped_persist(word_shingle_keys(df, id_col, text_col, k, seed=42))
-    sigs = minhash_signatures(sh, id_col, n_hashes, key_col="sk")
-    banded = scoped_persist(band_buckets(sigs, id_col, n_hashes, bands))
+    ex = word_shingle_keys(df, id_col, text_col, k, seed=42, distinct=False)
+    feats = scoped_persist(
+        ex.groupBy(id_col).agg(
+            F.collect_set("sk").alias("sks"),
+            *_min_mix_aggs(F.col("sk"), n_hashes, seed=42),
+        )
+    )
+    banded = band_buckets(feats, id_col, n_hashes, bands)
     cand = scoped_persist(band_self_join(banded, id_col))
-    return jaccard_pairs(cand, sh, id_col, threshold, shingle_col="sk")
+    fa = feats.select(F.col(id_col).alias("id_a"), F.col("sks").alias("_sa"))
+    fb = feats.select(F.col(id_col).alias("id_b"), F.col("sks").alias("_sb"))
+    out = (
+        cand.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.size("_sa") + F.size("_sb") - F.col("n_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= threshold) if threshold > 0 else out
 
 
 def dup_groups(

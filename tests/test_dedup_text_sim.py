@@ -111,6 +111,61 @@ def test_minhash_signature_is_true_min(spark, docs):
             assert got[d] == want[d], (i, d)
 
 
+def test_word_shingle_keys_match_string_hashes(spark, docs):
+    """The hashed-key shingle frame (r7 fused build) must hold exactly
+    {xxhash64(shingle, 42)} over the string frame's per-doc shingle SET —
+    including the short-doc (< k words) and empty-doc edge arms of the fused
+    CASE."""
+    from mtsad_spark.operators.dedup import word_shingle_keys
+
+    extra = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100, 101, 102], "text": ["one two", "solo", "   "]})
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    want = (
+        word_shingles(d, "doc_id", "text", k=3)
+        .withColumn("sk", F.xxhash64(F.col("shingle"), F.lit(42)))
+        .toPandas()
+        .groupby("doc_id")["sk"]
+        .apply(set)
+        .to_dict()
+    )
+    got = (
+        word_shingle_keys(d, "doc_id", "text", k=3)
+        .toPandas()
+        .groupby("doc_id")["sk"]
+        .apply(set)
+        .to_dict()
+    )
+    assert got == want
+    # non-distinct form: same set after dedup, never fewer occurrences
+    raw = word_shingle_keys(d, "doc_id", "text", k=3, distinct=False).toPandas()
+    assert raw.groupby("doc_id")["sk"].apply(set).to_dict() == want
+
+
+def test_simhash_lane_packed_votes_per_bit(spark, docs):
+    """Per-bit oracle for the lane-packed simhash (r7): every one of the 64
+    sig bits must equal sign(2·c_i − n) computed from the raw token hashes —
+    pins the 32-bit lane unpack (low mask / unsigned high shift) exactly."""
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64(F.col("tok"), F.lit(42)))
+        .toPandas()
+    )
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs, "doc_id", "text").collect()}
+    for doc_id, grp in toks.groupby("doc_id"):
+        h = grp["h"].to_numpy(dtype=np.uint64)
+        n = len(h)
+        sig = 0
+        for i in range(64):
+            c = int(((h >> np.uint64(i)) & np.uint64(1)).sum())
+            if 2 * c > n:
+                sig |= 1 << i
+        expected = sig - (1 << 64) if sig >= (1 << 63) else sig
+        assert got[doc_id] == expected, doc_id
+
+
 def test_simhash_near_dup(spark, docs):
     sigs = simhash(docs, "doc_id", "text")
     pairs = simhash_dup_pairs(sigs, "doc_id", max_hamming=10).toPandas()
