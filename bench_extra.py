@@ -28,47 +28,55 @@ def noop(df) -> float:
 
 
 def profile_minhash(spark, sf_dir: str) -> dict[str, float]:
-    """Per-stage cost of the minhash near-dup pipeline. Stages are timed
-    cumulatively (each includes its upstream lineage) AND incrementally with
-    persisted upstreams, so the delta is the stage's own cost."""
+    """Per-stage cost of the packed minhash near-dup pipeline (r7 shape:
+    one groupBy building collect_set + 64 mins, band self-join,
+    array_intersect verify). Each stage's upstream is persisted first so the
+    reading is the stage's own cost."""
     from mtsad_spark.driver_queries import _docs
     from mtsad_spark.operators.dedup import (
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-        word_shingles,
+        _min_mix_aggs,
+        band_buckets,
+        band_self_join,
+        word_shingle_keys,
     )
 
     sc = spark.sparkContext
     out: dict[str, float] = {}
     docs = _docs(spark, sf_dir)
 
-    sc.setJobDescription("minhash: 1 shingles")
-    sh = word_shingles(docs, "doc_id", "text", k=3)
-    out["shingles"] = noop(sh)
-    sh = sh.persist()
-    sh.count()
+    sc.setJobDescription("minhash: 1 shingle keys (exploded)")
+    ex = word_shingle_keys(docs, "doc_id", "text", k=3, distinct=False)
+    out["shingle_keys"] = noop(ex)
 
-    sc.setJobDescription("minhash: 2 signatures (shingles hot)")
-    sigs = minhash_signatures(sh, "doc_id", 64)
-    out["signatures"] = noop(sigs)
+    sc.setJobDescription("minhash: 2 doc features (sets + 64 mins)")
+    feats = ex.groupBy("doc_id").agg(
+        F.collect_set("sk").alias("sks"), *_min_mix_aggs(F.col("sk"), 64, 42)
+    )
+    out["doc_features"] = noop(feats)
+    feats = feats.persist()
+    feats.count()
 
-    sc.setJobDescription("minhash: 3 lsh pairs (shingles hot)")
-    cand = lsh_candidate_pairs(sigs, "doc_id", 64, 16)
-    out["lsh_pairs"] = noop(cand)
+    sc.setJobDescription("minhash: 3 band self-join (features hot)")
+    cand = band_self_join(band_buckets(feats, "doc_id", 64, 16), "doc_id")
+    out["band_self_join"] = noop(cand)
     cand = cand.persist()
     cand.count()
 
-    sc.setJobDescription("minhash: 4 jaccard verify (shingles+pairs hot)")
-    jac = jaccard_pairs(cand, sh, "doc_id", 0.5)
-    out["jaccard_verify"] = noop(jac)
+    sc.setJobDescription("minhash: 4 intersect verify (features+pairs hot)")
+    fa = feats.select(F.col("doc_id").alias("id_a"), F.col("sks").alias("_sa"))
+    fb = feats.select(F.col("doc_id").alias("id_b"), F.col("sks").alias("_sb"))
+    jac = (
+        cand.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn("jaccard", F.col("n_inter") / (F.size("_sa") + F.size("_sb") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+    out["intersect_verify"] = noop(jac)
 
     sc.setJobDescription(None)
-    n_docs = docs.count()
-    out["n_docs"] = n_docs
-    out["n_shingle_rows"] = sh.count()
+    out["n_docs"] = docs.count()
     out["n_cand_pairs"] = cand.count()
-    sh.unpersist()
+    feats.unpersist()
     cand.unpersist()
     return out
 

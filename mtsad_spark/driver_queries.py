@@ -1229,13 +1229,17 @@ def minhash_md5_near_dups_docs(spark, sf_dir):
     production xxhash64 form (minhash_near_dups_docs) stays the scale path;
     its stages were oracled separately — this query closes the composition
     gap between them."""
-    from mtsad_spark.operators.dedup import jaccard_pairs, word_shingles
+    from mtsad_spark.operators.dedup import jaccard_pairs, word_shingle_keys
     from mtsad_spark.plans.scope import scoped_persist
 
     cand = minhash_md5_band_pairs(spark, sf_dir)
     docs = _docs(spark, sf_dir)
-    sh = scoped_persist(word_shingles(docs, "doc_id", "text", k=3))
-    out = jaccard_pairs(cand, sh, "doc_id", threshold=0.5)
+    # the md5 family is only needed for the SIGNATURES (inside cand); the
+    # Jaccard verify counts distinct shared shingles, so it runs on the
+    # 8-byte hashed-key frame (r7, guide §2.3) — outputs identical, the
+    # DuckDB oracle recomputes its own set counts from the strings
+    sh = scoped_persist(word_shingle_keys(docs, "doc_id", "text", k=3))
+    out = jaccard_pairs(cand, sh, "doc_id", threshold=0.5, shingle_col="sk")
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
@@ -1259,21 +1263,24 @@ _JACCARD_PAIRS_CTE = r"""
 
 
 def _jaccard_pairs_df(spark, sf_dir):
-    from mtsad_spark.operators.dedup import jaccard_pairs, word_shingles
-
-    docs = _docs(spark, sf_dir)
+    """Exhaustive shared-shingle pairs + exact-Jaccard verify, on the 8-byte
+    hashed-key shingle frame (r7, guide §2.3): the shingle-keyed self-join
+    and every verify shuffle carry longs, never strings — outputs identical
+    (the DuckDB oracles recompute their own string-set counts)."""
+    from mtsad_spark.operators.dedup import jaccard_pairs, word_shingle_keys
     from mtsad_spark.plans.scope import scoped_persist
 
-    sh = scoped_persist(word_shingles(docs, "doc_id", "text", k=3))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    docs = _docs(spark, sf_dir)
+    sh = scoped_persist(word_shingle_keys(docs, "doc_id", "text", k=3))
+    a = sh.select(F.col("doc_id").alias("id_a"), "sk")
+    b = sh.select(F.col("doc_id").alias("id_b"), "sk")
     pairs = (
-        a.join(b, "shingle")
+        a.join(b, "sk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_pairs(pairs, sh, "doc_id", threshold=0.5)
+    return jaccard_pairs(pairs, sh, "doc_id", threshold=0.5, shingle_col="sk")
 
 
 @_q(

@@ -152,6 +152,10 @@ def epsilon_by_f1(
     density, keep the argmax-F1 epsilon — explode(sequence) × conditional
     aggs × max_by, one Spark plan, no driver loop."""
     keys = keys or []
+    # project before the step fan-out (guide §2.3): the explode multiplies
+    # every row n_steps times, so only the three columns the sweep reads may
+    # ride through it
+    df = df.select(*keys, density_col, truth_col)
     bounds = df.groupBy(*keys).agg(
         F.min(density_col).alias("_lo"), F.max(density_col).alias("_hi")
     )

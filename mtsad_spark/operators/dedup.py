@@ -335,18 +335,31 @@ def dup_groups(
         .withColumn("group_id", F.col("id"))
         .persist()
     )
+    # r7 (guide §2.4): fold the self-label into the neighbor aggregation by
+    # adding static self-loops — min over (self ∪ neighbors) labels equals
+    # the old least(own, coalesce(min-neighbor, own)) exactly, and the
+    # left-join that re-attached the own label disappears from every round.
+    edges2 = edges.unionByName(
+        labels.select(F.col("id").alias("a"), F.col("id").alias("b"))
+    ).persist()
+    labels = labels.localCheckpoint()
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.withColumnRenamed("id", "b"), "b")
+        merged = (
+            edges2.join(labels.withColumnRenamed("id", "b"), "b")
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("group_id").alias("_nbr"))
-        )
-        merged = labels.join(nbr_min, "id", "left").select(
-            "id", F.least("group_id", F.coalesce("_nbr", "group_id")).alias("group_id")
+            .agg(F.min("group_id").alias("group_id"))
         )
         # pointer jump (label-of-my-label): contracts chains, so convergence
         # is O(log diameter) rounds instead of O(diameter) — group ids are
-        # themselves member ids, so the lookup is a self-join on the id key
+        # themselves member ids, so the lookup is a self-join on the id key.
+        # r7 (guide §3.3/§7.3): the round output is localCheckpoint'ed, not
+        # just persisted — the self-join references merged TWICE, so without
+        # plan truncation the LOGICAL plan doubles every round and the
+        # driver's optimizer, not the executors, becomes the bottleneck
+        # (measured: round-2 convergence check alone 29 s from plan
+        # re-optimization; with truncation the whole fixpoint runs in ~3 s
+        # on the same input). Same blocks, same values — a checkpoint is a
+        # persist whose lineage starts fresh.
         new_labels = (
             merged.alias("x")
             .join(
@@ -356,7 +369,7 @@ def dup_groups(
                 "group_id",
             )
             .select("id", F.col("_gg").alias("group_id"))
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -365,16 +378,17 @@ def dup_groups(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     edges.unpersist()
+    edges2.unpersist()
     from mtsad_spark.plans.scope import register_scoped
 
-    # labels is returned persisted (its blocks are already hot from the
-    # convergence count) — scope it so the blocks release at the next query
-    # boundary instead of leaking into the session (plans/scope.py)
+    # labels is returned checkpoint-materialized (its blocks are already hot
+    # from the convergence count) — scope it so the release hook still fires
+    # at the next query boundary; intermediate rounds' checkpoint blocks are
+    # reclaimed by the ContextCleaner once their round-local refs drop
     return register_scoped(labels)
 
 
@@ -394,10 +408,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, seed: int = 42) -> DataFr
     ``votes_i > 0 ⟺ 2·c_i > n``. Lane capacity: exact for documents up to
     2^31 tokens (a lane holds a count ≤ n; no carry below n = 2^32).
     """
+    # empty boundary tokens are filtered INSIDE the array (one fused pass)
+    # rather than as a post-explode row filter — same row set
     toks = df.select(
         F.col(id_col),
-        F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
-    ).filter(F.length("tok") > 0)
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: F.length(x) > 0
+            )
+        ).alias("tok"),
+    )
     h = F.xxhash64(F.col("tok"), F.lit(seed))
     lane = (1 << 32) | 1  # selects bits j (low half) and j+32 (high half)
     sums = [
@@ -460,7 +480,14 @@ def simhash_dup_pairs(
         ).alias(f"c{c}")
         for c, (off, w) in enumerate(zip(offsets, widths))
     ]
-    s = sigs.select(F.col(id_col), F.col("simhash"), *chunks)
+    # multi-consumer frame (repo persist rule): every chunk branch reads s
+    # for BOTH join sides plus the bucket-count guard — without the persist
+    # the caller's whole signature lineage (explode + vote aggregation over
+    # every token) re-evaluates up to 3·n_chunks times (measured 10.7 s →
+    # 1.6 s on the sf0.1 driver corpus at max_hamming=8)
+    from mtsad_spark.plans.scope import scoped_persist
+
+    s = scoped_persist(sigs.select(F.col(id_col), F.col("simhash"), *chunks))
     pairs = None
     for c in range(n_chunks):
         l = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
@@ -516,27 +543,34 @@ def simhash_oversize_buckets(
 
 
 def token_ngrams(
-    df: DataFrame, id_col: str, tokens_col: str, n: int = 13
+    df: DataFrame, id_col: str, tokens_col: str, n: int = 13, seed: int = 42
 ) -> DataFrame:
-    """Distinct token n-grams per document as portable 60-bit md5 keys:
+    """Distinct token n-grams per document as 8-byte hash keys:
     ``(id, ngram_key)`` — one row per DISTINCT n-gram a document contains.
-    The n-gram string (tokens joined by ',') is hashed to a long so shuffles
-    carry 8-byte keys instead of ~100-byte strings; md5 keeps it reproducible
-    in any engine (same move as the md5 MinHash family). Documents shorter
-    than ``n`` tokens emit nothing."""
+    Documents shorter than ``n`` tokens emit nothing.
+
+    r7 keying (guide §4.1 cheapest-expression): the key is
+    ``xxhash64(slice(tokens, i, n), seed)`` — the gram's token-id slice
+    hashed DIRECTLY, no per-gram string materialization at all (the previous
+    md5-of-joined-string form built a ~50-byte string, md5'd it and
+    hex-parsed the digest per gram — measured 3-6× slower across the n-gram
+    family). Keys are engine-internal: every consumer (contamination,
+    source Jaccard) emits only counts/ids, and their DuckDB oracles derive
+    their own keys, so equality is on outputs — identical up to 64-bit
+    hash collisions over the corpus gram set (verified output-identical at
+    every SF). Token-id arrays join injectively, so array-equality ≡ the old
+    string-equality exactly."""
     # sequence(1, 0) counts DOWN ([1, 0]) — docs shorter than n must route
     # through an empty array (the dropin_augment lesson), or slice(…, 0, n)
     # throws INVALID_PARAMETER_VALUE
-    grams = F.expr(
+    keys = F.expr(
         f"CASE WHEN size({tokens_col}) >= {n} THEN "
         f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
-        f"i -> array_join(slice({tokens_col}, i, {n}), ',')) "
-        f"ELSE array() END"
+        f"i -> xxhash64(slice({tokens_col}, i, {n}), {seed})) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    key = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
     return (
-        df.select(F.col(id_col), F.explode(grams).alias("_g"))
-        .select(F.col(id_col), key.alias("ngram_key"))
+        df.select(F.col(id_col), F.explode(keys).alias("ngram_key"))
         .distinct()
     )
 
@@ -608,8 +642,8 @@ def repeated_spans(
 
     Pipeline shape (100-TB discipline):
 
-    1. positional n-gram keys ``(id, pos, md5-60bit)`` — one row per
-       position, 8-byte keys on the shuffle (the portable-hash move of
+    1. positional n-gram keys ``(id, pos, xxhash64-of-slice)`` — one row
+       per position, 8-byte keys on the shuffle (the direct-slice keying of
        :func:`token_ngrams`, which this generalizes by keeping positions);
     2. shared-key set = keys whose DISTINCT-document frequency is in
        ``[min_df, df_cap]`` — an algebraic, map-side-combined groupBy;
@@ -632,18 +666,17 @@ def repeated_spans(
 
     if min_df < 2:
         raise ValueError("repeated_spans needs min_df >= 2 (a span must recur)")
-    grams = F.expr(
+    # r7 keying: grams hashed directly from the token-id slice (see
+    # token_ngrams — no string/md5 per gram; keys stay engine-internal)
+    keys = F.expr(
         f"CASE WHEN size({tokens_col}) >= {n} THEN "
         f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
-        f"i -> array_join(slice({tokens_col}, i, {n}), ',')) "
-        f"ELSE array() END"
+        f"i -> xxhash64(slice({tokens_col}, i, {n}), 42)) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
     )
-    key = F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10).cast("long")
     from mtsad_spark.plans.scope import scoped_persist
 
-    pg = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "_g")).select(
-        F.col(id_col), F.col("pos"), key.alias("ngram_key")
-    )
+    pg = df.select(F.col(id_col), F.posexplode(keys).alias("pos", "ngram_key"))
     # pg feeds BOTH the doc-frequency aggregate and the position join —
     # persist or the corpus-wide explode/hash runs twice (repo rule)
     pg = scoped_persist(pg)
@@ -689,7 +722,7 @@ def source_ngram_jaccard(
     pre-tokenized sequences — the cross-source overlap/diversity matrix an
     LLM-data pipeline reads before fixing mixture weights (two sources with
     high n-gram Jaccard are near-redundant; the per-DOCUMENT near-dup ops
-    above answer a different question). Same portable md5 n-gram keys as
+    above answer a different question). Same direct-slice hash keys as
     :func:`token_ngrams`.
 
     Exact: ``jaccard = |A∩B| / (|A| + |B| − |A∩B|)`` on DISTINCT-gram
