@@ -772,9 +772,10 @@ def top_orders_by_revenue(spark, sf_dir):
     the join carries ~orders-many 16-byte partials instead of every lineitem
     row, and the post-join re-aggregation disappears (o_orderkey is unique in
     orders, o_orderdate functionally dependent on it — identical groups, the
-    same lineitem multiset summed per group). Plan: 3 Exchange + post-join
-    HashAggregate → 2 Exchange, and the aggregate's (l_orderkey) partitioning
-    is reused by the join."""
+    same lineitem multiset summed per group). Plan diff (plans/r07): the
+    post-join 1.5M-group HashAggregate+Exchange over the joined 6M rows
+    disappears; the one remaining shuffle carries narrow (l_orderkey,
+    partial) rows and the join consumes the aggregate's output directly."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (

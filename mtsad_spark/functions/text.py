@@ -407,14 +407,22 @@ def vocab_growth(
         .alias("bucket"),
         F.explode(F.split(F.col(text_col), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")  # Spark split keeps boundary empties
+    from mtsad_spark.plans.scope import scoped_persist
+
+    # shared (grp, bucket, token) count feeds BOTH the first-occurrence and
+    # the totals consumers (r7, guide §2.3) — previously each re-ran the
+    # corpus explode; the persisted frame is bucket×vocab-bounded
+    c = scoped_persist(
+        tok.groupBy("grp", "bucket", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
     first = (
-        tok.groupBy("grp", "token")
+        c.groupBy("grp", "token")
         .agg(F.min("bucket").alias("bucket"))
         .groupBy("grp", "bucket")
         .agg(F.count(F.lit(1)).alias("new_types"))
     )
-    totals = tok.groupBy("grp", "bucket").agg(
-        F.count(F.lit(1)).alias("n_tokens")
+    totals = c.groupBy("grp", "bucket").agg(
+        F.sum("cnt").alias("n_tokens")
     )
     j = totals.join(first, ["grp", "bucket"], "left").fillna(0, ["new_types"])
     cum = (
@@ -532,7 +540,13 @@ def bigram_conditional_entropy(
         df.select(F.col(group_col).alias("grp"), F.explode(pair).alias("_p"))
         .select("grp", F.col("_p")["0"].alias("_a"), F.col("_p")["1"].alias("_b"))
     )
-    cab = d.groupBy("grp", "_a", "_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    from mtsad_spark.plans.scope import scoped_persist
+
+    # cab feeds BOTH the continuation-total aggregate and the entropy join —
+    # persist or the corpus-wide bigram explode+count runs twice (repo rule)
+    cab = scoped_persist(
+        d.groupBy("grp", "_a", "_b").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
     ca = cab.groupBy("grp", "_a").agg(F.sum("c_ab").alias("c_a"))
     lnq = lambda c: F.round(F.log(c.cast("double")) * 1000000, 0).cast("long")
     j = cab.join(ca, ["grp", "_a"])
@@ -595,7 +609,13 @@ def bigram_pmi(
         df.select(F.col(group_col).alias("grp"), F.explode(pair).alias("_p"))
         .select("grp", F.col("_p")["0"].alias("a"), F.col("_p")["1"].alias("b"))
     )
-    cab = d.groupBy("grp", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    from mtsad_spark.plans.scope import scoped_persist
+
+    # cab feeds FOUR consumers (c_a, c_b, N, and the pruned join base) —
+    # persist or the corpus-wide bigram explode+count runs four times
+    cab = scoped_persist(
+        d.groupBy("grp", "a", "b").agg(F.count(F.lit(1)).alias("c_ab"))
+    )
     ca = cab.groupBy("grp", "a").agg(F.sum("c_ab").alias("c_a"))
     cb = cab.groupBy("grp", "b").agg(F.sum("c_ab").alias("c_b"))
     tot = cab.groupBy("grp").agg(F.sum("c_ab").alias("_N"))
@@ -662,16 +682,27 @@ def token_novelty(
     bucket-keyed (#buckets rows). Returns
     ``(bucket_ts, n_tokens, n_distinct, n_novel, novelty_rate)``.
     """
+    from mtsad_spark.plans.scope import scoped_persist
+
     tok = df.select(
         _time_bucket(ts_col, bucket_width_s).alias("bucket_ts"),
         F.explode(tokens_col).alias("token"),
     )
-    per_b = tok.groupBy("bucket_ts").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.count_distinct("token").alias("n_distinct"),
+    # ONE map-side-combined (bucket, token) count feeds both consumers (r7,
+    # guide §2.3 aggregate-before-shuffle): the per-bucket totals and the
+    # first-occurrence frame previously each re-ran the corpus explode; the
+    # shared count frame is bucket×vocab-bounded, so its persist is
+    # rollup-sized, not corpus-sized. Same values: n_tokens = Σcnt,
+    # n_distinct = #rows, first occurrence = min bucket with cnt > 0.
+    c = scoped_persist(
+        tok.groupBy("bucket_ts", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_b = c.groupBy("bucket_ts").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
     )
     first = (
-        tok.groupBy("token")
+        c.groupBy("token")
         .agg(F.min("bucket_ts").alias("bucket_ts"))
         .groupBy("bucket_ts")
         .agg(F.count(F.lit(1)).alias("n_novel"))

@@ -119,8 +119,13 @@ class ContinuousAggregate:
 
     def _write(self, partials: DataFrame, tier: str) -> None:
         out = partials.withColumn("_day", F.to_date("bucket_ts"))
+        # cluster by the partition column before the write (guide §6 output
+        # sizing): without it every shuffle partition emits a file into
+        # every day dir it touches (~tasks × days tiny files per refresh);
+        # with it each day lands in one task → one right-sized file per day
         (
-            out.write.mode("overwrite")
+            out.repartition("_day")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_day")
             .parquet(self._path(tier))
@@ -235,6 +240,7 @@ class ContinuousAggregate:
         )
         (
             packed.withColumn("_day", F.to_date("chunk_start"))
+            .repartition("_day")  # one file per cold day (guide §6)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_day")
