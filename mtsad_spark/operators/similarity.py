@@ -158,7 +158,13 @@ def cosine_topk_ivf(
     # (round-1 embedded each centroid as a literal expression — at d=1024 /
     # n_lists=4096 that is multi-MB of plan text per query; a data-side
     # broadcast keeps the plan O(1) regardless of d·k)
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # norms hoisted below the joins (r7, guide §4.1): ‖c‖ once per list row
+    # and ‖q‖ once per query — the per-pair work is the dot product alone;
+    # identical floats (the same two doubles are multiplied)
+    lists = lists.withColumn("_cn", _norm(F.col("_cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
     d2 = F.aggregate(
         F.zip_with(F.col("_qv"), F.col("_ctr"), lambda a, b: (a - b) * (a - b)),
         F.lit(0.0),
@@ -170,13 +176,13 @@ def cosine_topk_ivf(
         .withColumn("_d", d2)
         .withColumn("_rk", F.row_number().over(wq))
         .filter(F.col("_rk") <= n_probe)
-        .select("query_id", "_qv", "_list")
+        .select("query_id", "_qv", "_qn", "_list")
     )
     joined = lists.join(F.broadcast(probe), "_list").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     sim = joined.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     )
     # rank on the 6-decimal-rounded cosine with an id tiebreak: deterministic
     # across runs, partitionings and engines (unrounded float order is
@@ -257,13 +263,23 @@ def embedding_near_dups(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # per-vector norms computed BELOW the pair joins (r7, guide §4.1): once
+    # per vector row instead of once per pair; identical floats
+    vecs = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_n", _norm(F.col("_v")))
     sim = (
-        pairs.join(vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va")), "id_a")
-        .join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb")), "id_b")
+        pairs.join(
+            vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
         .withColumn(
             "cosine",
-            _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+            _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
         )
     )
     return sim.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
@@ -331,11 +347,16 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    # norms once per vector row below the re-attach joins (r7, guide §4.1)
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_qn", _norm(F.col("_qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cn", _norm(F.col("_cv")))
     joined = cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
     sim = joined.withColumn(
-        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv")))
+        "cosine", _dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn"))
     )
     # rank on the 6-decimal-rounded cosine with an id tiebreak: deterministic
     # across runs, partitionings and engines (unrounded float order is
