@@ -136,18 +136,25 @@ def _slice_with_halo(
     """
     base = _global_row_numbers(df, keys, order_col)
     base = base.withColumn("_slice", (F.col("_rn") / rows_per_slice).cast("int"))
-    own = base.withColumn("_halo", F.lit(False))
     # a halo longer than one slice must replicate into EVERY slice whose
     # warm-up range [s'*rps - halo, s'*rps) covers the row
     n_ahead = -(-halo // rows_per_slice)  # ceil
-    halo_rows = (
-        base.withColumn("_j", F.explode(F.array(*[F.lit(j) for j in range(1, n_ahead + 1)])))
-        .filter(F.col("_rn") >= (F.col("_slice") + F.col("_j")) * rows_per_slice - halo)
+    # ONE pass (r7, guide §2.4): each row explodes to its own slice (j = 0)
+    # plus every forward slice whose warm-up range covers it — the previous
+    # own ∪ halo UNION evaluated the row-numbering join+window lineage once
+    # per branch; the fused array-filter explode emits the identical row set
+    # from a single evaluation, with _halo = (j != 0).
+    js = F.filter(
+        F.array(*[F.lit(j) for j in range(0, n_ahead + 1)]),
+        lambda j: (j == 0)
+        | (F.col("_rn") >= (F.col("_slice") + j) * rows_per_slice - halo),
+    )
+    return (
+        base.withColumn("_j", F.explode(js))
+        .withColumn("_halo", F.col("_j") != 0)
         .withColumn("_slice", F.col("_slice") + F.col("_j"))
         .drop("_j")
-        .withColumn("_halo", F.lit(True))
     )
-    return own.unionByName(halo_rows)
 
 
 def sliding_zscore_pandas(

@@ -37,7 +37,12 @@ ENGINE_CONFS: dict[str, str] = {
     "spark.ui.enabled": "false",
     # ANSI off: engine relies on permissive casts like the reference's pandas.
     "spark.sql.ansi.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Single-JVM local mode: the driver heap IS the executor heap. 16g on
+    # the 128 GiB sandbox measured 5-10% faster across the full headline
+    # bench than 8g in order-controlled A/B pairs (less GC across the
+    # 18-query × 3-trial mix); still env-overridable, and on a real cluster
+    # the submitter sizes the driver explicitly.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
