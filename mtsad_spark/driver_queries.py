@@ -152,6 +152,27 @@ def _hourly_cte() -> str:
     )
 
 
+
+def _seqfix_df(spark: SparkSession) -> DataFrame:
+    """seqfix scan, re-spread when the single-file fixture yields fewer
+    splits than the session's parallelism (the _docs rule, r7): the fixture
+    is ONE sub-16m parquet file → a 1-task scan, which serializes every
+    token kernel (gram transforms, explodes, hashing over ~6M tokens)
+    through one core. The repartition shuffles ~15 MB once; a real corpus
+    has thousands of splits and never pays it."""
+    df = spark.read.parquet(_ensure_seqfix_path())
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        df = df.repartition(want)
+    return df
+
+
+def _ensure_seqfix_path() -> str:
+    from mtsad_spark.fixture_cache import ensure_seqfix
+
+    return ensure_seqfix()
+
+
 def _hourly_df(spark, sf_dir) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
@@ -1656,7 +1677,7 @@ def sequences_pipeline_rollup(spark, sf_dir):
     from mtsad_spark.operators.rollup import rollup_tiers
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")  # bucket boundaries
-    seq = spark.read.parquet(ensure_seqfix())
+    seq = _seqfix_df(spark)
     finalized, _ = rollup_tiers(seq, "ingest_ts", "n_tok", ["source"])
     h = finalized["1h"]
     return h.select(
@@ -2347,7 +2368,7 @@ def token_histogram(spark, sf_dir):
     floor)."""
     from mtsad_spark.fixture_cache import ensure_seqfix
 
-    seq = spark.read.parquet(ensure_seqfix())
+    seq = _seqfix_df(spark)
     binned = seq.select(
         "source",
         F.explode(
@@ -2403,7 +2424,7 @@ def tokens_passthrough_hash(spark, sf_dir):
     element order, count, and values survive pass-through bit-for-bit."""
     from mtsad_spark.fixture_cache import ensure_seqfix
 
-    seq = spark.read.parquet(ensure_seqfix())
+    seq = _seqfix_df(spark)
     tok_str = F.concat_ws(
         ",", F.transform("tokens", lambda t: t.cast("string"))
     )
@@ -3250,7 +3271,7 @@ def pipeline_lineage_counts(spark, sf_dir):
     from mtsad_spark.fixture_cache import CACHE_DIR, ensure_seqfix
     from mtsad_spark.plans.pipeline import RollupPipeline
 
-    seq = spark.read.parquet(ensure_seqfix())
+    seq = _seqfix_df(spark)
     pipe = RollupPipeline(spark, f"{CACHE_DIR}/pipeline_ck", keys=["source"])
     out = pipe.run(seq, resume=True)
     return out["metrics"].select("stage", "rows_out")
@@ -3509,7 +3530,7 @@ def token_packing_bins(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.prefix import pack_sequences
 
-    seq = spark.read.parquet(ensure_seqfix()).select(
+    seq = _seqfix_df(spark).select(
         "source",
         F.substring("doc_id", 5, 10).cast("long").alias("doc_idx"),
         F.col("n_tok").cast("long").alias("n_tok"),
@@ -3557,7 +3578,7 @@ def token_unigram_logprob(spark, sf_dir):
     by the micro rounding on a fixed fixture."""
     from mtsad_spark.fixture_cache import ensure_seqfix
 
-    seq = spark.read.parquet(ensure_seqfix())
+    seq = _seqfix_df(spark)
     tok = seq.select("doc_id", F.explode("tokens").alias("t"))
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     # total derives from the VOCAB-sized freq table, not a third corpus pass
@@ -3783,7 +3804,7 @@ def ngram_contamination_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.dedup import ngram_contamination
 
-    seq = spark.read.parquet(ensure_seqfix()).select("doc_id", "tokens")
+    seq = _seqfix_df(spark).select("doc_id", "tokens")
     holdout = seq.filter(
         F.substring("doc_id", 5, 10).cast("long") % 997 == 0
     ).select(
@@ -3986,7 +4007,7 @@ def token_heavy_hitters_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.rollup import token_heavy_hitters
 
-    seq = spark.read.parquet(ensure_seqfix()).select("source", "tokens")
+    seq = _seqfix_df(spark).select("source", "tokens")
     return token_heavy_hitters(seq, ["source"], "tokens", k=20)
 
 
@@ -4364,7 +4385,7 @@ def repeated_spans_docs(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.dedup import repeated_spans
 
-    seq = spark.read.parquet(ensure_seqfix()).select("doc_id", "tokens")
+    seq = _seqfix_df(spark).select("doc_id", "tokens")
     copies = seq.filter(
         F.substring("doc_id", 5, 10).cast("long") % 997 == 0
     ).select(
@@ -4429,7 +4450,7 @@ def mixture_sample_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.splits import mixture_token_sample
 
-    seq = spark.read.parquet(ensure_seqfix()).select("source", "doc_id", "n_tok")
+    seq = _seqfix_df(spark).select("source", "doc_id", "n_tok")
     total = seq.agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0]
     out = mixture_token_sample(
         seq, "source", "doc_id", "n_tok", int(total) * 35 // 100
@@ -4576,7 +4597,7 @@ def token_drift_15m_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import VOCAB, ensure_seqfix
     from mtsad_spark.functions.text import token_distribution_drift
 
-    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    seq = _seqfix_df(spark).select("ingest_ts", "tokens")
     return token_distribution_drift(seq, "ingest_ts", "tokens", 900, VOCAB)
 
 
@@ -4763,7 +4784,7 @@ def token_drift_top_tokens_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import VOCAB, ensure_seqfix
     from mtsad_spark.functions.text import token_drift_contributions
 
-    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    seq = _seqfix_df(spark).select("ingest_ts", "tokens")
     cnts = seq.select(
         ((F.col("ingest_ts").cast("timestamp").cast("long") / 900).cast("long") * 900)
         .cast("timestamp")
@@ -5667,7 +5688,7 @@ def bigram_pmi_top_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.functions.text import bigram_pmi
 
-    seq = spark.read.parquet(ensure_seqfix()).select(
+    seq = _seqfix_df(spark).select(
         "source", F.expr("transform(tokens, t -> t % 128)").alias("tokens")
     )
     return bigram_pmi(seq, "source", "tokens", min_count=5, top_k=20)
@@ -5819,7 +5840,7 @@ def pack_windows_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.prefix import pack_training_windows
 
-    seq = spark.read.parquet(ensure_seqfix()).select(
+    seq = _seqfix_df(spark).select(
         "source",
         "doc_id",
         F.col("n_tok").cast("long").alias("n"),
@@ -6176,7 +6197,7 @@ def bigram_entropy_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.functions.text import bigram_conditional_entropy
 
-    seq = spark.read.parquet(ensure_seqfix()).select("source", "tokens")
+    seq = _seqfix_df(spark).select("source", "tokens")
     return bigram_conditional_entropy(seq, "source", "tokens")
 
 
@@ -6213,7 +6234,7 @@ def source_jaccard_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.operators.dedup import source_ngram_jaccard
 
-    seq = spark.read.parquet(ensure_seqfix()).select("source", "tokens")
+    seq = _seqfix_df(spark).select("source", "tokens")
     return source_ngram_jaccard(seq, "source", "tokens", n=2)
 
 
@@ -6250,7 +6271,7 @@ def token_novelty_15m_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.functions.text import token_novelty
 
-    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    seq = _seqfix_df(spark).select("ingest_ts", "tokens")
     return token_novelty(seq, "ingest_ts", "tokens", 900)
 
 
@@ -6288,7 +6309,7 @@ def token_entropy_15m_seqfix(spark, sf_dir):
     from mtsad_spark.fixture_cache import ensure_seqfix
     from mtsad_spark.functions.text import token_bucket_entropy
 
-    seq = spark.read.parquet(ensure_seqfix()).select("ingest_ts", "tokens")
+    seq = _seqfix_df(spark).select("ingest_ts", "tokens")
     return token_bucket_entropy(seq, "ingest_ts", "tokens", 900)
 
 
