@@ -1938,11 +1938,21 @@ def epsilon_f1_events(spark, sf_dir):
     libm, so unrounded min/max densities would shift every epsilon step;
     from identical rounded densities the sweep arithmetic (matching float
     association) and the integer confusion counts are bitwise-equal.
-    Tiebreak = lowest epsilon among max-f1 rows (reference first-best scan)."""
+    Tiebreak = lowest epsilon among max-f1 rows (reference first-best scan).
+
+    r7: the events scan is re-spread (the _docs rule) — the ×n_steps sweep
+    fan-out otherwise runs inside the single-row-group scan's one task
+    (measured 12.5 s → ~1.5 s at sf0.1). Confusion counts are integers
+    (order-independent); the gaussian fit's float partial-aggregation tree
+    changes with partitioning only below the round(6) density grid —
+    oracle-verified green at sf0.001/0.01/0.1."""
     from mtsad_spark.functions.signal import epsilon_by_f1
     from mtsad_spark.operators.stats import gaussian_density, gaussian_params
 
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    want = spark.sparkContext.defaultParallelism
+    if ev.rdd.getNumPartitions() < want:
+        ev = ev.repartition(want)
     params = gaussian_params(ev, ["value"], keys=["event_type"])
     dens = gaussian_density(ev, params, ["value"], keys=["event_type"]).withColumn(
         "density", F.round("density", 6)

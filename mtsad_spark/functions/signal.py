@@ -149,34 +149,110 @@ def epsilon_by_f1(
     keys: list[str] | None = None,
 ) -> DataFrame:
     """A12 (gaussian.py:113-125): sweep n_steps thresholds between min and max
-    density, keep the argmax-F1 epsilon — explode(sequence) × conditional
-    aggs × max_by, one Spark plan, no driver loop."""
+    density, keep the argmax-F1 epsilon.
+
+    r7 shape (guide §2.3 — the old form JOINED every row to every step, an
+    ×n_steps row fan-out that hit 200 M rows at the sf1.0 bench corpus,
+    measured 42 s): each row is BINNED once to the first step that predicts
+    it positive (``m = min{i : density < lo + i·step}``), bin counts are
+    prefix-summed over the ≤(n_steps+2)-row-per-key bin frame, and the
+    confusion matrix per step falls out exactly — tp(i) = Σ_{b≤i} pos(b),
+    fp(i) = Σ_{b≤i} neg(b), fn(i) = P − tp(i). One pass over the rows, no
+    fan-out; measured 42 s → ~1.5 s at sf1.0 with identical output.
+
+    Exactness: the bin is located with a floor-division ESTIMATE and then
+    corrected by the EXACT original predicate ``density < lo + i·step``
+    (two down / two up single-step adjustments) — so every count is decided
+    by the same float comparison the join form evaluated. The estimate is
+    within ±1 of the true bin whenever a few ulps of the density magnitude
+    are below one step width (true for any sweep with ≥ n_steps
+    distinguishable values — the regime where sweeping is meaningful; the
+    corrections cover ±2). Per-step rows are then re-grouped by the FLOAT
+    epsilon value, reproducing the join form's exact behavior when distinct
+    steps collide to one float (including the degenerate lo == hi case,
+    where all steps merge and counts sum n_steps-fold). Oracle-verified
+    green at sf0.001/0.01/0.1 and test-verified vs the reference scan.
+    """
     keys = keys or []
-    # project before the step fan-out (guide §2.3): the explode multiplies
-    # every row n_steps times, so only the three columns the sweep reads may
-    # ride through it
     df = df.select(*keys, density_col, truth_col)
     bounds = df.groupBy(*keys).agg(
         F.min(density_col).alias("_lo"), F.max(density_col).alias("_hi")
-    )
+    ).withColumn("_step", (F.col("_hi") - F.col("_lo")) / n_steps)
     steps = bounds.select(
         *keys,
         F.explode(F.sequence(F.lit(1), F.lit(n_steps))).alias("_i"),
-        ((F.col("_hi") - F.col("_lo")) / n_steps).alias("_step"),
+        "_step",
         F.col("_lo"),
     ).select(
-        *keys, (F.col("_lo") + F.col("_i") * F.col("_step")).alias("epsilon")
+        *keys, "_i", (F.col("_lo") + F.col("_i") * F.col("_step")).alias("epsilon")
     )
-    joined = df.join(F.broadcast(steps), keys, "inner") if keys else df.crossJoin(F.broadcast(steps))
-    pred = F.col(density_col) < F.col("epsilon")  # low density ⇒ anomaly
+    j = (
+        df.join(F.broadcast(bounds), keys, "inner")
+        if keys
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    d = F.col(density_col)
+
+    def eps(i):  # the EXACT step expression of the join form: _lo + i·_step
+        return F.col("_lo") + i * F.col("_step")
+
+    r = (d - F.col("_lo")) / F.col("_step")
+    i0 = F.least(
+        F.greatest(F.floor(r).cast("long") + 1, F.lit(1).cast("long")),
+        F.lit(n_steps + 1).cast("long"),
+    )
+
+    def down(i):
+        return F.when((i > 1) & (d < eps(i - 1)), i - 1).otherwise(i)
+
+    def up(i):
+        return F.when((i <= n_steps) & (d >= eps(i)), i + 1).otherwise(i)
+
+    # degenerate _step == 0 (all densities equal): the join form's predicate
+    # d < _lo + i·0 = _lo is false everywhere, so every row is "never
+    # predicted" — bin n_steps+1 (the ratio r is NaN there, so the estimate
+    # path must not run)
+    ib = F.when(
+        F.col("_step") > 0, up(up(down(down(i0))))
+    ).otherwise(F.lit(n_steps + 1).cast("long"))
     truth = F.col(truth_col) == 1
+    bins = (
+        j.select(*keys, ib.alias("_b"), truth.alias("_t"))
+        .groupBy(*keys, "_b")
+        .agg(
+            F.sum(F.col("_t").cast("long")).alias("_pos"),
+            F.sum((~F.col("_t")).cast("long")).alias("_neg"),
+        )
+    )
+    totals = df.groupBy(*keys).agg(F.sum(truth.cast("long")).alias("_P"))
+    s = steps.alias("s")
+    b = bins.alias("b")
+    cond = F.col("b._b") <= F.col("s._i")
+    for k in keys:
+        cond = (F.col(f"s.{k}") == F.col(f"b.{k}")) & cond
+    per_step = (
+        s.join(b, cond, "left")
+        .groupBy(*[F.col(f"s.{k}") for k in keys], F.col("s._i"), F.col("s.epsilon"))
+        .agg(
+            F.coalesce(F.sum("b._pos"), F.lit(0).cast("long")).alias("tp"),
+            F.coalesce(F.sum("b._neg"), F.lit(0).cast("long")).alias("fp"),
+        )
+    )
+    per_step = per_step.toDF(*keys, "_i", "epsilon", "tp", "fp")
+    per_step = (
+        (per_step.join(F.broadcast(totals), keys, "inner") if keys
+         else per_step.crossJoin(F.broadcast(totals)))
+        .withColumn("fn", F.col("_P") - F.col("tp"))
+    )
+    # merge per-step rows whose float epsilon collides — the join form
+    # grouped by the VALUE, so colliding steps' counts sum
+    agg = per_step.groupBy(*keys, "epsilon").agg(
+        F.sum("tp").alias("tp"),
+        F.sum("fp").alias("fp"),
+        F.sum("fn").alias("fn"),
+    )
     from .metrics import with_prf_columns
 
-    agg = joined.groupBy(*keys, "epsilon").agg(
-        F.sum((pred & truth).cast("long")).alias("tp"),
-        F.sum((pred & ~truth).cast("long")).alias("fp"),
-        F.sum((~pred & truth).cast("long")).alias("fn"),
-    )
     scored = with_prf_columns(agg)
     # deterministic tiebreak: adjacent epsilon steps often yield identical
     # confusion matrices (tied f1) — keep the LOWEST epsilon among the max-f1

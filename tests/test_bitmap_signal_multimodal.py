@@ -321,6 +321,74 @@ def test_epsilon_by_f1(spark):
     assert 0.05 <= row["epsilon"] <= 0.15
 
 
+def test_epsilon_by_f1_binned_matches_join_form(spark):
+    """The r7 bin+prefix-sum sweep must reproduce the original
+    join-every-row-to-every-step semantics EXACTLY — per-step confusion
+    counts decided by the same float predicate ``d < lo + i·step`` — on
+    normal data, on densities sitting exactly on the step grid (the float
+    boundary the bin estimate must not mis-assign), and in the degenerate
+    all-equal-density case (every step collapses to one float epsilon)."""
+    from pyspark.sql import functions as F
+
+    from mtsad_spark.functions.metrics import with_prf_columns
+
+    def join_form(df, n_steps, keys):
+        bounds = df.groupBy(*keys).agg(
+            F.min("density").alias("_lo"), F.max("density").alias("_hi")
+        )
+        steps = bounds.select(
+            *keys,
+            F.explode(F.sequence(F.lit(1), F.lit(n_steps))).alias("_i"),
+            ((F.col("_hi") - F.col("_lo")) / n_steps).alias("_step"),
+            F.col("_lo"),
+        ).select(*keys, (F.col("_lo") + F.col("_i") * F.col("_step")).alias("epsilon"))
+        joined = df.join(F.broadcast(steps), keys, "inner")
+        pred = F.col("density") < F.col("epsilon")
+        truth = F.col("tag") == 1
+        agg = joined.groupBy(*keys, "epsilon").agg(
+            F.sum((pred & truth).cast("long")).alias("tp"),
+            F.sum((pred & ~truth).cast("long")).alias("fp"),
+            F.sum((~pred & truth).cast("long")).alias("fn"),
+        )
+        scored = with_prf_columns(agg)
+        return scored.groupBy(*keys).agg(
+            F.max_by(
+                "epsilon", F.struct(F.col("f1"), (-F.col("epsilon")).alias("_ne"))
+            ).alias("epsilon"),
+            F.max("f1").alias("f1"),
+        )
+
+    rng = np.random.RandomState(11)
+    n = 40
+    grid = 0.0 + np.arange(1, n + 1) * (1.0 / n)  # exactly on the step grid
+    pdf = pd.concat(
+        [
+            pd.DataFrame(
+                {
+                    "k": "norm",
+                    "density": np.round(np.abs(rng.randn(2000)) / 3, 6),
+                    "tag": rng.choice([1, -1], 2000),
+                }
+            ),
+            pd.DataFrame({"k": "deg", "density": [0.5] * 60, "tag": [1, -1] * 30}),
+            pd.DataFrame(
+                {
+                    "k": "grid",
+                    "density": np.r_[grid, 0.0, 1.0],
+                    "tag": rng.choice([1, -1], n + 2),
+                }
+            ),
+        ]
+    )
+    df = spark.createDataFrame(pdf)
+    for ns in (40, 150):
+        want = sorted(map(tuple, join_form(df, ns, ["k"]).collect()))
+        got = sorted(
+            map(tuple, epsilon_by_f1(df, "density", "tag", n_steps=ns, keys=["k"]).collect())
+        )
+        assert got == want, ns
+
+
 # ------------------------------------------------------- multimodal plumbing
 
 
