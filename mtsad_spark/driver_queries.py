@@ -1286,23 +1286,45 @@ _JACCARD_PAIRS_CTE = r"""
 
 def _jaccard_pairs_df(spark, sf_dir):
     """Exhaustive shared-shingle pairs + exact-Jaccard verify, on the 8-byte
-    hashed-key shingle frame (r7, guide §2.3): the shingle-keyed self-join
-    and every verify shuffle carry longs, never strings — outputs identical
-    (the DuckDB oracles recompute their own string-set counts)."""
-    from mtsad_spark.operators.dedup import jaccard_pairs, word_shingle_keys
+    hashed-key shingle-SET frame (r7, guide §2.3 — the minhash_dedup packed
+    shape): candidates come from a key-bucketed self-join over the exploded
+    sets, the verify is ``array_intersect`` over the per-doc set frame —
+    exhaustive candidates are quadratic in shared-shingle degree, so the
+    row-level (id, key) verify join exploded ~59 M rows at sf0.1 while the
+    packed verify touches each PAIR once (measured 9.1 s → ~1 s for the
+    verify stage). Outputs identical (the DuckDB oracles recompute their own
+    string-set counts)."""
+    from mtsad_spark.operators.dedup import word_shingle_keys
     from mtsad_spark.plans.scope import scoped_persist
 
     docs = _docs(spark, sf_dir)
-    sh = scoped_persist(word_shingle_keys(docs, "doc_id", "text", k=3))
-    a = sh.select(F.col("doc_id").alias("id_a"), "sk")
-    b = sh.select(F.col("doc_id").alias("id_b"), "sk")
+    feats = scoped_persist(
+        word_shingle_keys(docs, "doc_id", "text", k=3, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("sk").alias("sks"))
+    )
+    kx = feats.select("doc_id", F.explode("sks").alias("sk"))
+    a = kx.select(F.col("doc_id").alias("id_a"), "sk")
+    b = kx.select(F.col("doc_id").alias("id_b"), "sk")
     pairs = (
         a.join(b, "sk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
-    return jaccard_pairs(pairs, sh, "doc_id", threshold=0.5, shingle_col="sk")
+    fa = feats.select(F.col("doc_id").alias("id_a"), F.col("sks").alias("_sa"))
+    fb = feats.select(F.col("doc_id").alias("id_b"), F.col("sks").alias("_sb"))
+    out = (
+        pairs.join(fa, "id_a")
+        .join(fb, "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("_sa", "_sb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.size("_sa") + F.size("_sb") - F.col("n_inter")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out.filter(F.col("jaccard") >= 0.5)
 
 
 @_q(
